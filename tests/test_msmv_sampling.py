@@ -1,0 +1,109 @@
+"""The sampling op is the framework's one custom kernel. Its correctness
+contract is torch's ``F.grid_sample(mode=bilinear, padding=zeros,
+align_corners=True)`` per level, weighted-summed — the reference's PyTorch
+fallback (/root/reference/models/csrc/wrapper.py:14-38). We test:
+  1. fused gather impl == readable reference impl (property test);
+  2. both == the torch oracle;
+  3. gradients are finite and match finite differences through the weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsebev_tpu.ops import msmv_sampling, msmv_sampling_reference
+
+B, N, Q, P, C = 2, 6, 8, 5, 16
+LEVEL_SHAPES = [(16, 44), (8, 22), (4, 11), (2, 6)]
+
+
+def _make_inputs(rng, loc_spread=1.4):
+    feats = [rng.randn(B, N, h, w, C).astype(np.float32) for h, w in LEVEL_SHAPES]
+    # locations straddling borders (some out of [0,1]) and exact view coords
+    loc_xy = (rng.rand(B, Q, P, 2).astype(np.float32) * loc_spread) - (loc_spread - 1) / 2
+    view = rng.randint(0, N, (B, Q, P, 1)).astype(np.float32) / (N - 1)
+    loc = np.concatenate([loc_xy, view], axis=-1)
+    w = rng.rand(B, Q, P, len(LEVEL_SHAPES)).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    return feats, loc, w
+
+
+def _torch_oracle(feats, loc, w):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    # reference fallback: feats [B, C, N, H, W], 3D grid_sample, align_corners
+    final = torch.zeros(B, C, Q, P)
+    tloc = torch.from_numpy(loc) * 2 - 1
+    tloc = tloc[:, :, :, None, :]  # [B, Q, P, 1, 3]
+    for lvl, f in enumerate(feats):
+        tf = torch.from_numpy(f).permute(0, 4, 1, 2, 3)  # [B, C, N, H, W]
+        out = F.grid_sample(tf, tloc, mode="bilinear", padding_mode="zeros",
+                            align_corners=True)[..., 0]
+        final += out * torch.from_numpy(w[..., lvl]).reshape(B, 1, Q, P)
+    return final.permute(0, 2, 3, 1).numpy()  # [B, Q, P, C]
+
+
+def test_fused_matches_reference(rng):
+    feats, loc, w = _make_inputs(rng)
+    jf = [jnp.asarray(f) for f in feats]
+    out_ref = np.asarray(msmv_sampling_reference(jf, jnp.asarray(loc), jnp.asarray(w)))
+    out_fused = np.asarray(msmv_sampling(jf, jnp.asarray(loc), jnp.asarray(w)))
+    np.testing.assert_allclose(out_fused, out_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_matches_torch_grid_sample(rng):
+    feats, loc, w = _make_inputs(rng)
+    want = _torch_oracle(feats, loc, w)
+    jf = [jnp.asarray(f) for f in feats]
+    got = np.asarray(msmv_sampling(jf, jnp.asarray(loc), jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_out_of_image_is_zero(rng):
+    feats, loc, w = _make_inputs(rng)
+    loc[..., 0:2] = 7.5  # way outside
+    jf = [jnp.asarray(f) for f in feats]
+    got = np.asarray(msmv_sampling(jf, jnp.asarray(loc), jnp.asarray(w)))
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_gradients(rng):
+    feats, loc, w = _make_inputs(rng, loc_spread=0.9)
+    jf = [jnp.asarray(f) for f in feats]
+
+    def loss_fn(loc_, w_, feats_):
+        out = msmv_sampling(feats_, loc_, w_)
+        return jnp.sum(out ** 2)
+
+    g_loc, g_w = jax.grad(loss_fn, argnums=(0, 1))(jnp.asarray(loc), jnp.asarray(w), jf)
+    assert np.isfinite(np.asarray(g_loc)).all()
+    assert np.isfinite(np.asarray(g_w)).all()
+    assert float(jnp.abs(g_loc).max()) > 0
+    assert float(jnp.abs(g_w).max()) > 0
+
+    # finite-difference check on scale weights (smooth everywhere)
+    eps = 1e-3
+    w0 = w.copy()
+    w0[0, 0, 0, 0] -= eps
+    w1 = w.copy()
+    w1[0, 0, 0, 0] += eps
+    f0 = float(loss_fn(jnp.asarray(loc), jnp.asarray(w0), jf))
+    f1 = float(loss_fn(jnp.asarray(loc), jnp.asarray(w1), jf))
+    fd = (f1 - f0) / (2 * eps)
+    np.testing.assert_allclose(float(g_w[0, 0, 0, 0]), fd, rtol=2e-2, atol=1e-3)
+
+    # gradient also flows to the feature maps
+    g_f = jax.grad(lambda fs: loss_fn(jnp.asarray(loc), jnp.asarray(w), fs))(jf)
+    assert any(float(jnp.abs(g).max()) > 0 for g in g_f)
+
+
+def test_jit_and_dtype(rng):
+    feats, loc, w = _make_inputs(rng)
+    jf = [jnp.asarray(f, dtype=jnp.bfloat16) for f in feats]
+    fn = jax.jit(lambda fs, l_, w_: msmv_sampling(fs, l_, w_))
+    out = fn(jf, jnp.asarray(loc), jnp.asarray(w))
+    assert out.dtype == jnp.float32  # accumulate in fp32
+    want = np.asarray(msmv_sampling([jnp.asarray(f) for f in feats],
+                                    jnp.asarray(loc), jnp.asarray(w)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)

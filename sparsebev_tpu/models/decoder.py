@@ -1,0 +1,304 @@
+"""SparseBEV transformer decoder (TPU-native Flax rewrite).
+
+Mirrors /root/reference/models/sparsebev_transformer.py:
+- 6 iterations of ONE weight-shared decoder layer (:41-101);
+- scale-adaptive self-attention (SASA, :196-248);
+- adaptive spatio-temporal sampling (:251-317);
+- AdaMixer-style adaptive mixing (:320-387).
+
+TPU-first deltas: channel-last feature layout, functional modules with
+explicit rngs, `lax.stop_gradient` instead of `.detach()`/`no_grad`,
+`jax.checkpoint`-ready pure functions, static shapes throughout. Timestamps
+are pre-reduced to a ``time_diff [B, T]`` input so the whole decoder jits.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.box_ops import decode_bbox
+from ..ops.geometry import inverse_sigmoid
+from ..ops.projection import make_sample_points, sampling_4d
+from .layers import (FFN, Linear, MultiheadAttention, bias_init_with_prob,
+                     layer_norm_nd, torch_linear_kernel_init)
+
+
+class SparseBEVSelfAttention(nn.Module):
+    """Scale-adaptive self attention: per-head distance decay
+    ``attn_bias = -dist[q, q'] * tau[b, h, q]`` (reference :196-248)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    dropout: float = 0.1
+    pc_range: Sequence[float] = ()
+
+    @nn.compact
+    def __call__(self, query_bbox, query_feat, pre_attn_mask,
+                 deterministic: bool = True):
+        b, q, _ = query_bbox.shape
+        # pairwise BEV center distances; no gradient to the boxes (:236-248)
+        centers = decode_bbox(jax.lax.stop_gradient(query_bbox), self.pc_range)[..., :2]
+        dist = jnp.linalg.norm(centers[:, :, None, :] - centers[:, None, :, :], axis=-1)
+        dist = -dist  # [B, Q, Q]
+
+        tau = Linear(self.num_heads,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=lambda key, shape, dtype=jnp.float32:
+                         jax.random.uniform(key, shape, dtype, 0.0, 2.0),
+                     name="gen_tau")(query_feat)  # [B, Q, H]
+
+        tau = jnp.transpose(tau, (0, 2, 1))  # [B, H, Q]
+        attn_mask = dist[:, None, :, :] * tau[..., None]  # [B, H, Q, Q]
+        if pre_attn_mask is not None:  # query denoising group isolation
+            attn_mask = jnp.where(pre_attn_mask[None, None, :, :], -jnp.inf, attn_mask)
+        attn_mask = attn_mask.reshape(b * self.num_heads, q, q)
+
+        return MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
+                                  name="attention")(
+            query_feat, attn_mask=attn_mask, deterministic=deterministic)
+
+
+class SparseBEVSampling(nn.Module):
+    """Adaptive spatio-temporal sampling (reference :251-317): offsets in the
+    box frame, velocity-compensated across frames, per-level softmax weights."""
+
+    embed_dims: int = 256
+    num_frames: int = 8
+    num_groups: int = 4
+    num_points: int = 4
+    num_levels: int = 4
+    pc_range: Sequence[float] = ()
+    num_views: int = 6
+
+    @nn.compact
+    def __call__(self, query_bbox, query_feat, mlvl_feats, lidar2img,
+                 time_diff, image_h, image_w):
+        b, q = query_bbox.shape[:2]
+        g, p, t = self.num_groups, self.num_points, self.num_frames
+
+        # offsets: zero-init weight, bias ~ U(-0.5, 0.5) (:265-268)
+        offset = Linear(g * p * 3,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=lambda key, shape, dtype=jnp.float32:
+                            jax.random.uniform(key, shape, dtype, -0.5, 0.5),
+                        name="sampling_offset")(query_feat)
+        offset = offset.reshape(b, q, g * p, 3)
+
+        pts = make_sample_points(query_bbox, offset, self.pc_range)  # [B,Q,GP,3]
+        pts = pts.reshape(b, q, 1, g, p, 3)
+        pts = jnp.broadcast_to(pts, (b, q, t, g, p, 3))
+
+        # velocity warp: move past-frame samples back along -v*dt (:285-295)
+        vel = jax.lax.stop_gradient(query_bbox[..., 8:10])  # [B, Q, 2]
+        dist = vel[:, :, None, :] * time_diff[:, None, :, None]  # [B, Q, T, 2]
+        dist = dist[:, :, :, None, None, :]
+        pts = jnp.concatenate([pts[..., 0:2] - dist, pts[..., 2:3]], axis=-1)
+
+        # per-level weights, shared across frames (:298-300)
+        sw = Linear(g * p * self.num_levels, name="scale_weights")(query_feat)
+        sw = sw.reshape(b, q, g, 1, p, self.num_levels)
+        sw = jax.nn.softmax(sw, axis=-1)
+        sw = jnp.broadcast_to(sw, (b, q, g, t, p, self.num_levels))
+
+        return sampling_4d(pts, mlvl_feats, sw, lidar2img, image_h, image_w,
+                           num_views=self.num_views)  # [B, Q, G, T*P, C/G]
+
+
+class AdaptiveMixing(nn.Module):
+    """AdaMixer-style dynamic channel+point mixing (reference :320-387)."""
+
+    in_dim: int
+    in_points: int
+    n_groups: int = 4
+    out_points: int = 128
+    query_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, query):
+        qd = self.query_dim or self.in_dim
+        od = self.out_dim or self.in_dim
+        eff_in = self.in_dim // self.n_groups
+        eff_out = od // self.n_groups
+        m_params = eff_in * eff_out
+        s_params = self.in_points * self.out_points
+
+        b, q, g, p, c = x.shape
+        assert g == self.n_groups and p == self.in_points and c == eff_in
+
+        params = Linear(self.n_groups * (m_params + s_params),
+                        kernel_init=nn.initializers.zeros,
+                        name="parameter_generator")(query)
+        params = params.reshape(b * q, g, m_params + s_params)
+        m, s = params[..., :m_params], params[..., m_params:]
+        m = m.reshape(b * q, g, eff_in, eff_out)
+        s = s.reshape(b * q, g, self.out_points, self.in_points)
+
+        out = x.reshape(b * q, g, p, c)
+        # adaptive channel mixing: [P, Cin] @ [Cin, Cout]
+        out = jnp.einsum("bgpc,bgcd->bgpd", out, m)
+        out = nn.relu(layer_norm_nd(out, 2))
+        # adaptive point mixing: [Pout, Pin] @ [Pin, C]
+        out = jnp.einsum("bgop,bgpc->bgoc", s, out)
+        out = nn.relu(layer_norm_nd(out, 2))
+
+        out = out.reshape(b, q, -1)
+        out = Linear(qd, name="out_proj")(out)
+        return query + out
+
+
+class SparseBEVTransformerDecoderLayer(nn.Module):
+    """One decoder iteration (reference :104-193): pos-MLP -> SASA ->
+    sampling -> mixing -> FFN -> cls/reg -> refine."""
+
+    embed_dims: int
+    num_frames: int = 8
+    num_points: int = 4
+    num_levels: int = 4
+    num_classes: int = 10
+    code_size: int = 10
+    num_cls_fcs: int = 2
+    num_reg_fcs: int = 2
+    pc_range: Sequence[float] = ()
+    num_groups: int = 4
+    mixer_out_points: int = 128
+    num_views: int = 6
+
+    def setup(self):
+        c = self.embed_dims
+        self.self_attn = SparseBEVSelfAttention(
+            c, num_heads=8, dropout=0.1, pc_range=self.pc_range, name="self_attn")
+        self.sampling = SparseBEVSampling(
+            c, num_frames=self.num_frames, num_groups=self.num_groups,
+            num_points=self.num_points, num_levels=self.num_levels,
+            pc_range=self.pc_range, num_views=self.num_views, name="sampling")
+        self.mixing = AdaptiveMixing(
+            in_dim=c, in_points=self.num_points * self.num_frames,
+            n_groups=self.num_groups, out_points=self.mixer_out_points,
+            name="mixing")
+        self.ffn = FFN(c, feedforward_channels=512, ffn_drop=0.1, name="ffn")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+        # position encoder: (Linear, LN, ReLU) x2 (:113-120)
+        self.pos_fc1 = Linear(c, name="pos_fc1")
+        self.pos_ln1 = nn.LayerNorm(epsilon=1e-5, name="pos_ln1")
+        self.pos_fc2 = Linear(c, name="pos_fc2")
+        self.pos_ln2 = nn.LayerNorm(epsilon=1e-5, name="pos_ln2")
+        # branches (:131-144); focal-prior bias on the classifier (:152-153)
+        self.cls_fcs = [Linear(c, name=f"cls_fc{i}") for i in range(self.num_cls_fcs)]
+        self.cls_lns = [nn.LayerNorm(epsilon=1e-5, name=f"cls_ln{i}")
+                        for i in range(self.num_cls_fcs)]
+        self.cls_out = Linear(
+            self.num_classes,
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="cls_out")
+        self.reg_fcs = [Linear(c, name=f"reg_fc{i}") for i in range(self.num_reg_fcs)]
+        self.reg_out = Linear(self.code_size, name="reg_out")
+
+    def position_encoder(self, xyz):
+        x = nn.relu(self.pos_ln1(self.pos_fc1(xyz)))
+        return nn.relu(self.pos_ln2(self.pos_fc2(x)))
+
+    def refine_bbox(self, bbox_proposal, bbox_delta):
+        xyz = inverse_sigmoid(bbox_proposal[..., 0:3])
+        xyz_new = jax.nn.sigmoid(bbox_delta[..., 0:3] + xyz)
+        return jnp.concatenate([xyz_new, bbox_delta[..., 3:]], axis=-1)
+
+    def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,
+                 lidar2img, time_diff, image_h, image_w,
+                 deterministic: bool = True):
+        query_pos = self.position_encoder(query_bbox[..., :3])
+        query_feat = query_feat + query_pos
+
+        query_feat = self.norm1(self.self_attn(
+            query_bbox, query_feat, attn_mask, deterministic=deterministic))
+        sampled = self.sampling(query_bbox, query_feat, mlvl_feats, lidar2img,
+                                time_diff, image_h, image_w)
+        query_feat = self.norm2(self.mixing(sampled, query_feat))
+        query_feat = self.norm3(self.ffn(query_feat, deterministic=deterministic))
+
+        cls_feat = query_feat
+        for fc, ln in zip(self.cls_fcs, self.cls_lns):
+            cls_feat = nn.relu(ln(fc(cls_feat)))
+        cls_score = self.cls_out(cls_feat)
+
+        reg_feat = query_feat
+        for fc in self.reg_fcs:
+            reg_feat = nn.relu(fc(reg_feat))
+        bbox_pred = self.reg_out(reg_feat)
+        bbox_pred = self.refine_bbox(query_bbox, bbox_pred)
+
+        # absolute velocity: divide by dt of the first history frame (:179-183)
+        if self.num_frames > 1:
+            dt = time_diff[:, 1:2, None]  # [B, 1, 1]
+            dt = jnp.where(dt < 1e-5, 1.0, dt)
+            bbox_pred = jnp.concatenate(
+                [bbox_pred[..., :8], bbox_pred[..., 8:] / dt], axis=-1)
+
+        return query_feat, cls_score, bbox_pred
+
+
+class SparseBEVTransformer(nn.Module):
+    """The full decoder: regroups features for sampling, then runs
+    ``num_layers`` iterations of the single shared layer (reference :41-101).
+    """
+
+    embed_dims: int
+    num_frames: int = 8
+    num_points: int = 4
+    num_layers: int = 6
+    num_levels: int = 4
+    num_classes: int = 10
+    code_size: int = 10
+    pc_range: Sequence[float] = ()
+    num_groups: int = 4
+    mixer_out_points: int = 128
+    num_views: int = 6
+
+    @nn.compact
+    def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,
+                 lidar2img, time_diff, image_h, image_w,
+                 deterministic: bool = True):
+        """
+        query_bbox: [B, Q, 10] query-layout boxes; query_feat: [B, Q, C].
+        mlvl_feats: list of [B, T*N, H_l, W_l, C] channel-last pyramids.
+        lidar2img: [B, T*N, 4, 4]; time_diff: [B, T].
+        Returns (cls_scores [L, B, Q, num_classes], bbox_preds [L, B, Q, code]).
+        """
+        n = self.num_views
+        g = self.num_groups
+        # regroup [B, TN, H, W, C] -> [B*T*G, N, H, W, C/G] (reference :72-85,
+        # channel-last throughout on TPU; channels split group-major)
+        grouped = []
+        for feat in mlvl_feats:
+            b, tn, h, w, c = feat.shape
+            t, cg = tn // n, c // g
+            f = feat.reshape(b, t, n, h, w, g, cg)
+            f = jnp.transpose(f, (0, 1, 5, 2, 3, 4, 6))  # [B, T, G, N, H, W, Cg]
+            grouped.append(f.reshape(b * t * g, n, h, w, cg))
+
+        layer = SparseBEVTransformerDecoderLayer(
+            self.embed_dims, self.num_frames, self.num_points, self.num_levels,
+            self.num_classes, self.code_size, pc_range=self.pc_range,
+            num_groups=g, mixer_out_points=self.mixer_out_points,
+            num_views=n, name="decoder_layer")
+
+        cls_scores, bbox_preds = [], []
+        for _ in range(self.num_layers):
+            query_feat, cls_score, bbox_pred = layer(
+                query_bbox, query_feat, grouped, attn_mask,
+                lidar2img, time_diff, image_h, image_w,
+                deterministic=deterministic)
+            query_bbox = jax.lax.stop_gradient(bbox_pred)
+            cls_scores.append(cls_score)
+            bbox_preds.append(bbox_pred)
+
+        cls_scores = jnp.nan_to_num(jnp.stack(cls_scores))
+        bbox_preds = jnp.nan_to_num(jnp.stack(bbox_preds))
+        return cls_scores, bbox_preds

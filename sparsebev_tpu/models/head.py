@@ -1,0 +1,147 @@
+"""SparseBEV head: learned query boxes, DN-DETR query denoising plumbing,
+decoder invocation, and output packaging (reference
+/root/reference/models/sparsebev_head.py).
+
+TPU-first deltas: query denoising uses STATIC shapes — ground truth is padded
+to ``dn_max_gt`` per sample and the DN pad size is ``dn_max_gt * dn_groups``
+(the reference sizes it dynamically by the max GT count in the batch,
+sparsebev_head.py:180-181, which cannot jit). Invalid slots are masked in the
+loss. The random noising itself lives in losses/denoising.py (pure function
+of an rng key) so the head stays deterministic given its inputs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import HEADS
+from .decoder import SparseBEVTransformer
+
+
+def _init_query_bbox_init(num_query: int):
+    """Reference query init (sparsebev_head.py:49-64): N(0,1) embedding with
+    xy = centered sqrt(Q) x sqrt(Q) grid in (0,1), z=0, log-h=1.5, vel=0."""
+    grid_size = int(math.isqrt(num_query))
+    assert grid_size * grid_size == num_query, "num_query must be a square"
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (num_query, 10)
+        w = jax.random.normal(key, shape, dtype)
+        xs = (jnp.arange(grid_size, dtype=dtype) + 0.5) / grid_size
+        xx, yy = jnp.meshgrid(xs, xs, indexing="ij")
+        xy = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+        w = w.at[:, 0:2].set(xy)
+        w = w.at[:, 2:3].set(0.0)    # z
+        w = w.at[:, 5:6].set(1.5)    # log h
+        w = w.at[:, 8:10].set(0.0)   # vx, vy
+        return w
+
+    return init
+
+
+class SparseBEVHead(nn.Module):
+    """Query-based detection head. Outputs per-layer class logits and boxes in
+    the normalized layout [cx,cy,logw,logl,cz,logh,sin,cos,vx,vy] with xyz in
+    world coordinates (sparsebev_head.py:85-94)."""
+
+    num_classes: int
+    in_channels: int
+    num_query: int = 900
+    num_frames: int = 8
+    num_points: int = 4
+    num_layers: int = 6
+    num_levels: int = 4
+    code_size: int = 10
+    pc_range: Sequence[float] = ()
+    num_groups: int = 4
+    mixer_out_points: int = 128
+    num_views: int = 6
+
+    def setup(self):
+        c = self.in_channels
+        self.init_query_bbox = self.param(
+            "init_query_bbox", _init_query_bbox_init(self.num_query),
+            (self.num_query, 10))
+        # DAB-DETR style label embedding; row num_classes = "no object"
+        self.label_enc = nn.Embed(self.num_classes + 1, c - 1,
+                                  embedding_init=nn.initializers.normal(1.0),
+                                  name="label_enc")
+        self.transformer = SparseBEVTransformer(
+            embed_dims=c, num_frames=self.num_frames, num_points=self.num_points,
+            num_layers=self.num_layers, num_levels=self.num_levels,
+            num_classes=self.num_classes, code_size=self.code_size,
+            pc_range=self.pc_range, num_groups=self.num_groups,
+            mixer_out_points=self.mixer_out_points, num_views=self.num_views,
+            name="transformer")
+
+    def __call__(self, mlvl_feats, lidar2img, time_diff, image_h, image_w,
+                 dn_inputs: Optional[dict] = None, deterministic: bool = True):
+        """
+        mlvl_feats: list of [B, T*N, H, W, C]; lidar2img [B, T*N, 4, 4];
+        time_diff [B, T]. dn_inputs (training only): dict with
+          - 'dn_query_bbox' [B, DN, 10] noised encoded boxes,
+          - 'dn_labels'     [B, DN] int32 noised labels (num_classes = pad),
+          - 'attn_mask'     [DN+Q, DN+Q] bool (True = blocked).
+        Returns dict: all_cls_scores [L,B,Q,cls], all_bbox_preds [L,B,Q,10],
+        and when denoising: dn_cls_scores/dn_bbox_preds [L,B,DN,...].
+        """
+        b = mlvl_feats[0].shape[0]
+        c = self.in_channels
+
+        query_bbox = jnp.broadcast_to(self.init_query_bbox[None],
+                                      (b, self.num_query, 10))
+        # match queries: "no object" embedding + indicator 0 (head:124-127)
+        no_obj = self.label_enc(jnp.full((), self.num_classes, jnp.int32))
+        query_feat = jnp.concatenate([no_obj, jnp.zeros((1,), no_obj.dtype)])
+        query_feat = jnp.broadcast_to(query_feat[None, None],
+                                      (b, self.num_query, c))
+
+        attn_mask = None
+        dn_pad = 0
+        if dn_inputs is not None:
+            dn_bbox = dn_inputs["dn_query_bbox"]
+            dn_labels = dn_inputs["dn_labels"]
+            attn_mask = dn_inputs["attn_mask"]
+            dn_pad = dn_bbox.shape[1]
+            dn_feat = self.label_enc(dn_labels)  # [B, DN, C-1]
+            ones = jnp.ones(dn_feat.shape[:-1] + (1,), dn_feat.dtype)
+            dn_feat = jnp.concatenate([dn_feat, ones], axis=-1)
+            query_bbox = jnp.concatenate([dn_bbox, query_bbox], axis=1)
+            query_feat = jnp.concatenate([dn_feat, query_feat], axis=1)
+
+        cls_scores, bbox_preds = self.transformer(
+            query_bbox, query_feat, mlvl_feats, attn_mask,
+            lidar2img, time_diff, image_h, image_w,
+            deterministic=deterministic)
+
+        # query layout -> normalized layout: xyz to world, reorder
+        # [cx,cy,w,l,cz,h,sin,cos,vx,vy] (head:85-94)
+        lo = jnp.asarray(self.pc_range[0:3], bbox_preds.dtype)
+        hi = jnp.asarray(self.pc_range[3:6], bbox_preds.dtype)
+        xyz = bbox_preds[..., 0:3] * (hi - lo) + lo
+        bbox_preds = jnp.concatenate([
+            xyz[..., 0:2],            # cx, cy
+            bbox_preds[..., 3:5],     # log w, log l
+            xyz[..., 2:3],            # cz
+            bbox_preds[..., 5:10],    # log h, sin, cos, vx, vy
+        ], axis=-1)
+
+        if dn_pad > 0:
+            return {
+                "all_cls_scores": cls_scores[:, :, dn_pad:, :],
+                "all_bbox_preds": bbox_preds[:, :, dn_pad:, :],
+                "dn_cls_scores": cls_scores[:, :, :dn_pad, :],
+                "dn_bbox_preds": bbox_preds[:, :, :dn_pad, :],
+            }
+        return {
+            "all_cls_scores": cls_scores,
+            "all_bbox_preds": bbox_preds,
+        }
+
+
+HEADS.register_module(name="SparseBEVHead", module=SparseBEVHead)

@@ -1,0 +1,64 @@
+"""NMS-free top-k box decoding (reference
+/root/reference/models/bbox/coders/nms_free_coder.py).
+
+Static-shape TPU rewrite: always returns ``max_num`` boxes per sample plus a
+validity mask (score threshold + post-center-range filter become the mask
+instead of dynamic boolean indexing).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.box_ops import denormalize_bbox
+from ..registry import BBOX_CODERS
+
+
+class NMSFreeCoder:
+    def __init__(self,
+                 pc_range: Sequence[float],
+                 voxel_size: Optional[Sequence[float]] = None,
+                 post_center_range: Optional[Sequence[float]] = None,
+                 max_num: int = 100,
+                 score_threshold: Optional[float] = None,
+                 num_classes: int = 10):
+        self.pc_range = pc_range
+        self.voxel_size = voxel_size
+        self.post_center_range = post_center_range
+        self.max_num = max_num
+        self.score_threshold = score_threshold
+        self.num_classes = num_classes
+
+    def decode_single(self, cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray
+                      ) -> Dict[str, jnp.ndarray]:
+        """cls_scores [Q, C] logits; bbox_preds [Q, 10] normalized layout.
+        Returns dict with bboxes [max_num, 9] (world layout), scores, labels,
+        and a validity ``mask`` [max_num] (coder:37-88)."""
+        scores = jax.nn.sigmoid(cls_scores).reshape(-1)  # [Q*C]
+        top_scores, idx = jax.lax.top_k(scores, self.max_num)
+        labels = idx % self.num_classes
+        bbox_index = idx // self.num_classes
+        boxes = denormalize_bbox(bbox_preds[bbox_index])  # [K, 9]
+
+        mask = jnp.ones_like(top_scores, dtype=bool)
+        if self.score_threshold is not None:
+            mask &= top_scores > self.score_threshold
+        if self.post_center_range is not None:
+            limit = jnp.asarray(self.post_center_range, boxes.dtype)
+            mask &= (boxes[:, :3] >= limit[:3]).all(-1)
+            mask &= (boxes[:, :3] <= limit[3:]).all(-1)
+
+        return {"bboxes": boxes, "scores": top_scores,
+                "labels": labels, "mask": mask}
+
+    def decode(self, preds_dicts: Dict[str, jnp.ndarray]):
+        """Decode the LAST decoder layer for every sample in the batch."""
+        cls = preds_dicts["all_cls_scores"][-1]   # [B, Q, C]
+        box = preds_dicts["all_bbox_preds"][-1]   # [B, Q, 10]
+        return jax.vmap(self.decode_single)(cls, box)
+
+
+BBOX_CODERS.register_module(name="NMSFreeCoder", module=NMSFreeCoder)

@@ -111,6 +111,8 @@ class SparseBEVHead(nn.Module):
             dn_feat = self.label_enc(dn_labels)  # [B, DN, C-1]
             ones = jnp.ones(dn_feat.shape[:-1] + (1,), dn_feat.dtype)
             dn_feat = jnp.concatenate([dn_feat, ones], axis=-1)
+            if "dn_mask" in dn_inputs:  # zero features on padded slots (head:182-183)
+                dn_feat = jnp.where(dn_inputs["dn_mask"][..., None], dn_feat, 0.0)
             query_bbox = jnp.concatenate([dn_bbox, query_bbox], axis=1)
             query_feat = jnp.concatenate([dn_feat, query_feat], axis=1)
 

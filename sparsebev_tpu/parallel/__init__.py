@@ -1,0 +1,2 @@
+from .mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, data_sharding, gather_results)

@@ -1,0 +1,49 @@
+"""Device-mesh data parallelism (the TPU-native replacement for the
+reference's NCCL DDP stack — SURVEY.md section 2.6).
+
+One 1-D mesh over all chips with a ``data`` axis: the batch shards over it,
+parameters replicate, and jitting the global-batch train step makes XLA
+insert the gradient all-reduces the reference got from
+MMDistributedDataParallel (train.py:131). Multi-host extends this by calling
+``jax.distributed.initialize`` before ``make_mesh`` — the same code then runs
+over ICI + DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Place every array in ``batch`` with its leading dim sharded over the
+    mesh (replaces DistributedGroupSampler sharding, loaders/builder.py:22-27)."""
+    sharding = data_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def gather_results(x: Any) -> Any:
+    """Bring sharded eval outputs to host (replaces ``gpu_collect``-style NCCL
+    gather, val.py:132): with jit output already global, this is just
+    device_get."""
+    return jax.tree_util.tree_map(lambda a: np.asarray(jax.device_get(a)), x)

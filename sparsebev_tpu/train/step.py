@@ -1,0 +1,106 @@
+"""Training step: loss assembly + grad + optimizer update, pjit-ready.
+
+Replaces the reference's runner/Fp16OptimizerHook iteration
+(/root/reference/train.py:138-158, configs/r50_nuimg_704x256.py:196-200):
+bf16 compute / fp32 params instead of loss-scaled fp16, one jitted function
+instead of hook dispatch. Data parallelism comes from sharding the batch over
+a ``jax.sharding.Mesh`` 'data' axis — gradient averaging and the loss
+normalizer sync (the reference's NCCL ``reduce_mean``,
+models/sparsebev_head.py:374,384) fall out of the global-batch computation
+with XLA inserting the collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import (compute_detection_loss, compute_dn_loss,
+                      prepare_dn_inputs)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx)
+
+
+def make_train_step(model,
+                    num_classes: int,
+                    code_weights: Sequence[float],
+                    pc_range: Sequence[float],
+                    num_query: int,
+                    query_denoising: bool = True,
+                    dn_groups: int = 10,
+                    loss_cls_weight: float = 2.0,
+                    loss_bbox_weight: float = 0.25) -> Callable:
+    """Returns ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    batch dict (all arrays, leading dim = global batch):
+      img [B, T*6, H, W, 3], lidar2img [B, T*6, 4, 4], time_diff [B, T],
+      gt_boxes [B, M, 9], gt_labels [B, M], gt_mask [B, M].
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng_dn, rng_aug, rng_drop = jax.random.split(rng, 3)
+
+        dn_inputs = None
+        if query_denoising:
+            dn_inputs = prepare_dn_inputs(
+                rng_dn, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+                num_query=num_query, num_classes=num_classes,
+                pc_range=pc_range, groups=dn_groups)
+
+        def loss_fn(params):
+            preds = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"], batch["lidar2img"], batch["time_diff"],
+                dn_inputs=dn_inputs, train=True,
+                rngs={"aug": rng_aug, "dropout": rng_drop})
+
+            losses = compute_detection_loss(
+                preds["all_cls_scores"], preds["all_bbox_preds"],
+                batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+                num_classes, code_weights,
+                loss_cls_weight=loss_cls_weight,
+                loss_bbox_weight=loss_bbox_weight)
+            if dn_inputs is not None:
+                losses.update(compute_dn_loss(
+                    preds["dn_cls_scores"], preds["dn_bbox_preds"],
+                    batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+                    num_classes, code_weights, groups=dn_groups,
+                    loss_cls_weight=loss_cls_weight,
+                    loss_bbox_weight=loss_bbox_weight))
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = {"loss": total, "grad_norm": optax.global_norm(grads)}
+        metrics.update(losses)
+        return new_state, metrics
+
+    return train_step

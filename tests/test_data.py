@@ -1,0 +1,158 @@
+"""Data-layer tests: synthetic dataset through the full pipeline, sweep
+selection, IDA homography consistency, loader batching."""
+
+import numpy as np
+import pytest
+
+from sparsebev_tpu.data import (
+    Boxes3D, NuScenesSweepDataset, DataLoader, ShardedGroupSampler,
+    collate_batch, make_synthetic_dataset)
+from sparsebev_tpu.data.loader import compute_time_diff
+
+PC_RANGE = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+CLASSES = ["car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+           "motorcycle", "bicycle", "pedestrian", "traffic_cone"]
+
+IDA = {
+    "resize_lim": (0.8, 1.0),
+    "final_dim": (48, 96),
+    "bot_pct_lim": (0.0, 0.0),
+    "rot_lim": (0.0, 0.0),
+    "H": 64, "W": 128,
+    "rand_flip": True,
+}
+
+TRAIN_PIPELINE = [
+    dict(type="LoadMultiViewImageFromFiles"),
+    dict(type="LoadMultiViewImageFromMultiSweeps", sweeps_num=1),
+    dict(type="LoadAnnotations3D"),
+    dict(type="ObjectRangeFilter", point_cloud_range=PC_RANGE),
+    dict(type="ObjectNameFilter", classes=CLASSES),
+    dict(type="RandomTransformImage", ida_aug_conf=IDA, training=True),
+    dict(type="GlobalRotScaleTransImage", rot_range=[-0.3925, 0.3925],
+         scale_ratio_range=[0.95, 1.05]),
+    dict(type="DefaultFormatBundle3D"),
+    dict(type="Collect3D", keys=["gt_bboxes_3d", "gt_labels_3d", "img"]),
+]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    ann = make_synthetic_dataset(str(root), num_samples=4, sweeps_between=2,
+                                 image_hw=(64, 128))
+    return str(root), ann
+
+
+def test_dataset_pipeline_end_to_end(synth_root):
+    root, ann = synth_root
+    ds = NuScenesSweepDataset(ann_file=ann, pipeline=TRAIN_PIPELINE,
+                              classes=CLASSES, use_valid_flag=True)
+    assert len(ds) == 4
+    sample = ds[2]
+    img = sample["img"]
+    assert img.shape == (2 * 6, 48, 96, 3)  # T=2 frames x 6 views, IDA final_dim
+    assert sample["lidar2img"].shape == (12, 4, 4)
+    assert sample["img_timestamp"].shape == (12,)
+    # current frame timestamps should exceed history
+    ts = sample["img_timestamp"].reshape(2, 6)
+    assert (ts[0] >= ts[1]).all()
+    assert isinstance(sample["gt_bboxes_3d"], Boxes3D)
+
+
+def test_sweep_collection(synth_root):
+    root, ann = synth_root
+    ds = NuScenesSweepDataset(ann_file=ann, pipeline=[], classes=CLASSES)
+    prev, nxt = ds.collect_sweeps(2)
+    assert len(prev) > 0 and len(nxt) > 0
+    info = ds.get_data_info(2)
+    assert len(info["lidar2img"]) == 6
+    assert info["lidar2img"][0].shape == (4, 4)
+
+
+def test_ida_homography_consistency(synth_root):
+    """A 3D point projected with the IDA-folded matrix must land where the
+    same point lands in the transformed image."""
+    from sparsebev_tpu.data.pipelines import RandomTransformImage
+    from PIL import Image
+    rng = np.random.RandomState(0)
+
+    tr = RandomTransformImage(ida_aug_conf=IDA, training=True)
+    params = tr.sample_augmentation()
+    resize, dims, crop, flip, rotate = params
+
+    # pixel homography check: a pixel (u, v) in the source image maps to
+    # ida @ (u, v): verify against PIL by tracking a bright dot
+    src = np.zeros((64, 128, 3), np.uint8)
+    u, v = 60, 30
+    src[v - 1:v + 2, u - 1:u + 2] = 255
+    img, ida = tr.img_transform(Image.fromarray(src), *params)
+    out = np.asarray(img)[..., 0]
+    if out.max() > 100:  # dot survived the crop
+        vy, vx = np.unravel_index(out.argmax(), out.shape)
+        uv = ida[:2, :2] @ np.array([u, v]) + ida[:2, 2]
+        assert abs(uv[0] - vx) < 3 and abs(uv[1] - vy) < 3
+
+
+def test_global_rot_scale_consistency(synth_root):
+    """After BEV rot/scale, projecting a transformed gt center through the
+    adjusted lidar2img equals projecting the original center through the
+    original matrix."""
+    from sparsebev_tpu.data.pipelines import GlobalRotScaleTransImage
+    rng = np.random.RandomState(1)
+    box = np.array([[5.0, 2.0, -1.0, 2.0, 4.0, 1.5, 0.3, 1.0, 0.5]], np.float32)
+    l2i = rng.randn(4, 4).astype(np.float32)
+    center_h = np.array([5.0, 2.0, -1.0 + 0.75, 1.0])
+    proj_before = l2i @ center_h
+
+    results = dict(lidar2img=[l2i.copy()], gt_bboxes_3d=Boxes3D(box.copy()))
+    GlobalRotScaleTransImage()(results)
+    new_center = results["gt_bboxes_3d"].gravity_center[0]
+    proj_after = results["lidar2img"][0] @ np.concatenate([new_center, [1.0]])
+    np.testing.assert_allclose(proj_after, proj_before, rtol=1e-3, atol=1e-3)
+
+
+def test_sampler_sharding():
+    s0 = ShardedGroupSampler(10, shard_id=0, num_shards=4, seed=7)
+    s1 = ShardedGroupSampler(10, shard_id=1, num_shards=4, seed=7)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 3
+    assert set(i0).isdisjoint(set(i1)) or len(set(i0 + i1)) > 3  # padding may repeat
+    s0.set_epoch(1)
+    assert list(s0) != i0  # reshuffled per epoch
+
+
+def test_loader_batches(synth_root):
+    root, ann = synth_root
+    ds = NuScenesSweepDataset(ann_file=ann, pipeline=TRAIN_PIPELINE,
+                              classes=CLASSES, use_valid_flag=True)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, max_gt=8)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["img"].shape == (2, 12, 48, 96, 3)
+    assert b["lidar2img"].shape == (2, 12, 4, 4)
+    assert b["time_diff"].shape == (2, 2)
+    assert (b["time_diff"][:, 0] == 0).all()
+    assert (b["time_diff"][:, 1] > 0).all()  # history frames are older
+    assert b["gt_boxes"].shape == (2, 8, 9)
+    assert b["gt_mask"].dtype == bool
+    # gravity center: z raised by h/2 relative to bottom-center storage
+    assert b["gt_boxes"][b["gt_mask"]][:, 2].max() <= 3.0
+
+
+def test_time_diff():
+    ts = np.array([10.0] * 6 + [9.5] * 6 + [9.0] * 6)
+    td = compute_time_diff(ts)
+    np.testing.assert_allclose(td, [0.0, 0.5, 1.0], atol=1e-6)
+
+
+def test_boxes3d_rotate_scale():
+    box = Boxes3D(np.array([[1.0, 0.0, 0.0, 1, 1, 2, 0.0, 1.0, 0.0]]))
+    box.rotate(np.pi / 2)
+    # mmdet3d v1.0: p @ rot_mat_T with rot_mat_T = [[c, s], [-s, c]]
+    np.testing.assert_allclose(box.tensor[0, :2], [0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(box.tensor[0, 6], np.pi / 2, atol=1e-6)
+    np.testing.assert_allclose(box.tensor[0, 7:9], [0.0, 1.0], atol=1e-6)
+    box.scale(2.0)
+    np.testing.assert_allclose(box.tensor[0, 3:6], [2, 2, 4], atol=1e-6)

@@ -1,0 +1,54 @@
+# ResNet-101 at 1408x512 with a 5-level pyramid
+# (reference configs/r101_nuimg_1408x512.py).
+_base_ = ["./r50_nuimg_704x256.py"]
+
+class_names = [
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+]
+point_cloud_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+num_frames = 8
+
+model = dict(
+    img_backbone=dict(depth=101),
+    img_neck=dict(num_outs=5),
+    pts_bbox_head=dict(num_levels=5),
+)
+
+ida_aug_conf = {
+    "resize_lim": (0.76, 1.10),
+    "final_dim": (512, 1408),
+    "bot_pct_lim": (0.0, 0.0),
+    "rot_lim": (0.0, 0.0),
+    "H": 900, "W": 1600,
+    "rand_flip": True,
+}
+
+train_pipeline = [
+    dict(type="LoadMultiViewImageFromFiles", to_float32=False),
+    dict(type="LoadMultiViewImageFromMultiSweeps", sweeps_num=num_frames - 1),
+    dict(type="LoadAnnotations3D", with_bbox_3d=True, with_label_3d=True),
+    dict(type="ObjectRangeFilter", point_cloud_range=point_cloud_range),
+    dict(type="ObjectNameFilter", classes=class_names),
+    dict(type="RandomTransformImage", ida_aug_conf=ida_aug_conf, training=True),
+    dict(type="GlobalRotScaleTransImage", rot_range=[-0.3925, 0.3925],
+         scale_ratio_range=[0.95, 1.05]),
+    dict(type="DefaultFormatBundle3D", class_names=class_names),
+    dict(type="Collect3D", keys=["gt_bboxes_3d", "gt_labels_3d", "img"]),
+]
+
+test_pipeline = [
+    dict(type="LoadMultiViewImageFromFiles", to_float32=False),
+    dict(type="LoadMultiViewImageFromMultiSweeps", sweeps_num=num_frames - 1,
+         test_mode=True),
+    dict(type="RandomTransformImage", ida_aug_conf=ida_aug_conf, training=False),
+    dict(type="DefaultFormatBundle3D", class_names=class_names,
+         with_label=False),
+    dict(type="Collect3D", keys=["img"]),
+]
+
+data = dict(
+    train=dict(pipeline=train_pipeline),
+    val=dict(pipeline=test_pipeline),
+    test=dict(pipeline=test_pipeline),
+)

@@ -1,0 +1,93 @@
+# VoVNet-99 (DD3D pretrain) at 1600x640, 1600 queries, 15 frames
+# (7 past + 7 future sweeps), train+val
+# (reference configs/vov99_dd3d_1600x640_trainval_future.py).
+_base_ = ["./r50_nuimg_704x256.py"]
+
+class_names = [
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+]
+point_cloud_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+
+img_norm_cfg = dict(
+    mean=[103.530, 116.280, 123.675],
+    std=[57.375, 57.120, 58.395],
+    to_rgb=False,
+)
+
+model = dict(
+    data_aug=dict(
+        img_color_aug=True,
+        img_norm_cfg=img_norm_cfg,
+        img_pad_cfg=dict(size_divisor=32),
+    ),
+    img_backbone=dict(
+        _delete_=True,
+        type="VoVNet",
+        spec_name="V-99-eSE",
+        out_features=["stage2", "stage3", "stage4", "stage5"],
+        norm_eval=True,
+        frozen_stages=1,
+        with_cp=True,
+    ),
+    img_neck=dict(
+        _delete_=True,
+        type="FPN",
+        in_channels=[256, 512, 768, 1024],
+        out_channels=256,
+        num_outs=5,
+    ),
+    pts_bbox_head=dict(
+        num_query=1600,
+        num_levels=5,
+        num_points=4,
+        num_frames=15,
+    ),
+)
+
+ida_aug_conf = {
+    "resize_lim": (0.94, 1.25),
+    "final_dim": (640, 1600),
+    "bot_pct_lim": (0.0, 0.0),
+    "rot_lim": (0.0, 0.0),
+    "H": 900, "W": 1600,
+    "rand_flip": True,
+}
+
+train_pipeline = [
+    dict(type="LoadMultiViewImageFromFiles", to_float32=False),
+    dict(type="LoadMultiViewImageFromMultiSweepsFuture",
+         prev_sweeps_num=7, next_sweeps_num=7),
+    dict(type="LoadAnnotations3D", with_bbox_3d=True, with_label_3d=True),
+    dict(type="ObjectRangeFilter", point_cloud_range=point_cloud_range),
+    dict(type="ObjectNameFilter", classes=class_names),
+    dict(type="RandomTransformImage", ida_aug_conf=ida_aug_conf, training=True),
+    dict(type="GlobalRotScaleTransImage", rot_range=[-0.3925, 0.3925],
+         scale_ratio_range=[0.95, 1.05]),
+    dict(type="DefaultFormatBundle3D", class_names=class_names),
+    dict(type="Collect3D", keys=["gt_bboxes_3d", "gt_labels_3d", "img"]),
+]
+
+test_pipeline = [
+    dict(type="LoadMultiViewImageFromFiles", to_float32=False),
+    dict(type="LoadMultiViewImageFromMultiSweepsFuture",
+         prev_sweeps_num=7, next_sweeps_num=7, test_mode=True),
+    dict(type="RandomTransformImage", ida_aug_conf=ida_aug_conf, training=False),
+    dict(type="DefaultFormatBundle3D", class_names=class_names,
+         with_label=False),
+    dict(type="Collect3D", keys=["img"]),
+]
+
+data = dict(
+    train=dict(
+        # train+val ("trainval" setting)
+        ann_file=["data/nuscenes/nuscenes_infos_train_sweep.pkl",
+                  "data/nuscenes/nuscenes_infos_val_sweep.pkl"],
+        pipeline=train_pipeline,
+    ),
+    val=dict(pipeline=test_pipeline),
+    test=dict(pipeline=test_pipeline),
+)
+
+load_from = "pretrain/dd3d_det_final.pth"
+revise_keys = None

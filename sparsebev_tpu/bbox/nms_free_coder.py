@@ -38,7 +38,8 @@ class NMSFreeCoder:
         Returns dict with bboxes [max_num, 9] (world layout), scores, labels,
         and a validity ``mask`` [max_num] (coder:37-88)."""
         scores = jax.nn.sigmoid(cls_scores).reshape(-1)  # [Q*C]
-        top_scores, idx = jax.lax.top_k(scores, self.max_num)
+        k = min(self.max_num, scores.shape[0])
+        top_scores, idx = jax.lax.top_k(scores, k)
         labels = idx % self.num_classes
         bbox_index = idx // self.num_classes
         boxes = denormalize_bbox(bbox_preds[bbox_index])  # [K, 9]

@@ -1,0 +1,100 @@
+"""Epoch-based training runner (the TPU-native replacement for mmcv's
+EpochBasedRunner + hook dispatch, reference /root/reference/train.py:138-176).
+
+One jitted train step over a device mesh; host-side loop handles data,
+hooks, checkpoints and resume.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..parallel import make_mesh, replicate, shard_batch
+from .hooks import Hook, IterTimerHook
+
+
+class Runner:
+    def __init__(self,
+                 train_step_fn: Callable,
+                 state,
+                 loader,
+                 work_dir: str,
+                 total_epochs: int,
+                 lr_schedule: Optional[Callable] = None,
+                 hooks: Optional[List[Hook]] = None,
+                 mesh=None,
+                 seed: int = 0):
+        self.train_step_fn = jax.jit(train_step_fn)
+        self.state = state
+        self.loader = loader
+        self.work_dir = work_dir
+        self.total_epochs = total_epochs
+        self.lr_schedule = lr_schedule
+        self.hooks = hooks or []
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+
+        self.epoch = 0
+        self.iter = 0
+        self.log_vars: Dict[str, Any] = {}
+        self.eval_results: Dict[str, Any] = {}
+        os.makedirs(work_dir, exist_ok=True)
+
+    @property
+    def iters_per_epoch(self) -> int:
+        return len(self.loader)
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    def current_lr(self) -> float:
+        if self.lr_schedule is None:
+            return 0.0
+        return float(self.lr_schedule(self.global_step))
+
+    def _call_hooks(self, event: str, *args):
+        for h in self.hooks:
+            fn = getattr(h, event, None)
+            if fn is not None:
+                fn(self, *args)
+
+    def resume(self, path: str):
+        """Full-state resume (reference runner.resume, train.py:160-162)."""
+        from ..utils.checkpoint_io import load_checkpoint, restore_train_state
+        payload = load_checkpoint(path)
+        self.state = restore_train_state(path, self.state)
+        self.epoch = int(payload.get("extra", {}).get("epoch", 0))
+        logging.info("resumed from %s at step %d (epoch %d)",
+                     path, self.global_step, self.epoch)
+
+    def run(self):
+        self.state = jax.device_put(self.state, replicate(self.mesh))
+        rng = jax.random.PRNGKey(self.seed)
+        self._call_hooks("before_run")
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, self.total_epochs):
+            self.epoch = epoch
+            self._call_hooks("before_epoch")
+            timer = next((h for h in self.hooks if isinstance(h, IterTimerHook)),
+                         None)
+            for i, batch in enumerate(self.loader):
+                self.iter = i
+                metas = batch.pop("img_metas", None)
+                batch = shard_batch(batch, self.mesh)
+                if timer is not None:
+                    timer.before_iter(self)
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self.train_step_fn(
+                    self.state, batch, step_rng)
+                metrics = {k: float(v) for k, v in
+                           jax.device_get(metrics).items()}
+                self._call_hooks("after_iter", metrics)
+            self._call_hooks("after_epoch")
+        return self.state

@@ -1,0 +1,71 @@
+"""End-to-end CLI tests: train 2 iterations on synthetic data, checkpoint,
+then evaluate with tools/val.py reusing that checkpoint. Runs as subprocesses
+(the real user surface)."""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_ann(tmp_path_factory):
+    from sparsebev_tpu.data import make_synthetic_dataset
+    root = tmp_path_factory.mktemp("cli_synth")
+    return make_synthetic_dataset(str(root), num_samples=4, sweeps_between=2,
+                                  image_hw=(64, 128))
+
+
+def _run(cmd, timeout=900):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    return subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout, env=env, cwd=REPO)
+
+
+def test_train_cli(synth_ann, tmp_path):
+    work = str(tmp_path / "work")
+    out = _run([
+        sys.executable, "tools/train.py",
+        "--config", "configs/smoke_synthetic.py",
+        "--work-dir", work, "--platform", "cpu",
+        "--override", f"data.train.ann_file={synth_ann}",
+    ])
+    assert out.returncode == 0, out.stderr[-3000:]
+    log = out.stdout + out.stderr
+    assert "training done" in log
+    assert re.search(r"loss: [\d.]+", log)
+    # checkpoint saved
+    assert any(d.startswith("ckpt_") for d in os.listdir(work))
+    # code backup exists (reference utils.backup_code parity)
+    assert os.path.isdir(os.path.join(work, "backup", "sparsebev_tpu"))
+
+    # val CLI reusing the checkpoint
+    ckpt = os.path.join(work, sorted(
+        d for d in os.listdir(work) if d.startswith("ckpt_"))[-1])
+    out = _run([
+        sys.executable, "tools/val.py",
+        "--config", "configs/smoke_synthetic.py",
+        "--weights", ckpt, "--platform", "cpu",
+        "--override", f"data.val.ann_file={synth_ann}",
+    ])
+    assert out.returncode == 0, out.stderr[-3000:]
+    log = out.stdout + out.stderr
+    assert "NDS" in log and "mAP" in log
+
+
+def test_val_cli_random_init(synth_ann):
+    out = _run([
+        sys.executable, "tools/val.py",
+        "--config", "configs/smoke_synthetic.py",
+        "--platform", "cpu", "--limit", "2",
+        "--override", f"data.val.ann_file={synth_ann}",
+    ])
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "NDS" in out.stdout + out.stderr

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""FPS benchmark CLI (the reference's timing.py surface: warmup + timed
+streaming inference, /root/reference/timing.py:77-96).
+
+Through the axon tunnel, host-side per-call timing is dominated by ~30 ms
+round trips, so the timed loop runs inside one jit with a rolling feature
+cache (see bench.py) and reads back a single scalar.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="SparseBEV-TPU FPS benchmark")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--samples", type=int, default=100)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--platform", default=None)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from sparsebev_tpu.config import Config
+    from sparsebev_tpu.builder import build_model
+    from sparsebev_tpu.utils import init_logging
+
+    init_logging()
+    cfg = Config.fromfile(args.config)
+    model, aux = build_model(cfg)
+
+    num_frames = cfg.model["pts_bbox_head"]["num_frames"]
+    fh, fw = cfg.ida_aug_conf["final_dim"]
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.uniform(0, 255, (1, 6, fh, fw, 3)).astype(np.float32))
+    l2i = jnp.asarray(rng.randn(1, num_frames * 6, 4, 4).astype(np.float32))
+    td = jnp.asarray(np.linspace(0, 0.5 * (num_frames - 1), num_frames,
+                                 dtype=np.float32)[None])
+
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        jnp.tile(frame, (1, num_frames, 1, 1, 1)), l2i, td, train=False)
+
+    cache = jax.jit(lambda v, img: model.apply(
+        v, img, train=False, method=model.forward_features))(
+        variables, jnp.tile(frame, (1, num_frames, 1, 1, 1)))
+
+    pad = lambda x: x  # images already at final size
+    h, w = cache[0].shape[2] * 4, cache[0].shape[3] * 4  # stride-4 level
+
+    def one_sample(variables, cache, frame):
+        feats = model.apply(variables, frame, train=False,
+                            method=model.forward_features)
+        cache = [jnp.concatenate([nf, c[:, :(num_frames - 1) * 6]], axis=1)
+                 for nf, c in zip(feats, cache)]
+        preds = model.apply(variables, cache, l2i, td, fh, fw,
+                            method=model.forward_head)
+        return cache, preds
+
+    def loop(n):
+        @jax.jit
+        def run(variables, cache, frame):
+            def body(i, carry):
+                cache, acc = carry
+                cache, preds = one_sample(variables, cache, frame + i * 1e-3)
+                return cache, acc + preds["all_cls_scores"][-1].sum()
+            return jax.lax.fori_loop(0, n, body, (cache, jnp.float32(0)))[1]
+        return run
+
+    warm = loop(args.warmup)
+    timed = loop(args.samples)
+    float(warm(variables, cache, frame))
+    float(timed(variables, cache, frame))  # compile
+    t0 = time.perf_counter()
+    float(timed(variables, cache, frame))
+    dt = (time.perf_counter() - t0) / args.samples
+    fps = 1.0 / dt
+    logging.info("latency: %.2f ms, FPS: %.2f", dt * 1e3, fps)
+    print(json.dumps({"metric": "streaming_fps", "value": round(fps, 2),
+                      "unit": "fps"}))
+
+
+if __name__ == "__main__":
+    main()

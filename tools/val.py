@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Evaluation CLI (the reference's val.py surface: checkpoint load, offline
+inference over the val split, NDS/mAP metric table —
+/root/reference/val.py:19-137). Uses the built-in nuScenes-protocol
+evaluator; writes a devkit-schema submission JSON as well."""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Validate SparseBEV-TPU")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--weights", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--limit", type=int, default=None,
+                        help="evaluate only the first N samples")
+    parser.add_argument("--out", default=None, help="submission json path")
+    parser.add_argument("--override", nargs="+", default=None)
+    parser.add_argument("--platform", default=None)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from sparsebev_tpu.config import Config
+    from sparsebev_tpu.builder import build_model, build_dataset, build_dataloader
+    from sparsebev_tpu.evaluation import (NuScenesDetectionEvaluator,
+                                          format_nusc_submission)
+    from sparsebev_tpu.utils import init_logging, load_checkpoint
+
+    init_logging()
+    cfg = Config.fromfile(args.config)
+    if args.override:
+        cfg.merge_from_dict(dict(kv.split("=", 1) for kv in args.override))
+
+    dataset = build_dataset(cfg.data["val"])
+    if args.limit:
+        dataset.data_infos = dataset.data_infos[:args.limit]
+    loader = build_dataloader(dataset, batch_size=args.batch_size,
+                              num_workers=cfg.data.get("workers_per_gpu", 4),
+                              shuffle=False, drop_last=False,
+                              max_gt=cfg.get("max_gt", 64))
+
+    model, aux = build_model(cfg)
+    coder = aux.build_coder()
+
+    batch = next(iter(loader))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["img"][:1]), jnp.asarray(batch["lidar2img"][:1]),
+        jnp.asarray(batch["time_diff"][:1]), train=False)
+    if args.weights:
+        payload = load_checkpoint(args.weights)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload.get("batch_stats", {})}
+        logging.info("loaded weights from %s (step %s)",
+                     args.weights, payload.get("step"))
+    else:
+        logging.warning("no --weights given: evaluating a random-init model")
+
+    @jax.jit
+    def forward(variables, img, lidar2img, time_diff):
+        preds = model.apply(variables, img, lidar2img, time_diff, train=False)
+        dec = coder.decode(preds)
+        return dec
+
+    evaluator = NuScenesDetectionEvaluator(classes=dataset.classes)
+    results_per_sample = {}
+    n_done = 0
+    for batch in loader:
+        dec = jax.device_get(forward(
+            variables, jnp.asarray(batch["img"]),
+            jnp.asarray(batch["lidar2img"]), jnp.asarray(batch["time_diff"])))
+        for i, meta in enumerate(batch["img_metas"]):
+            token = meta.get("sample_idx") or f"sample_{n_done}"
+            res = {k: np.asarray(v[i]) for k, v in dec.items()}
+            # output z is gravity-centered via denormalize; shift to bottom
+            # center for the box struct convention when formatting
+            results_per_sample[token] = res
+            if "gt_boxes" in batch:
+                evaluator.add_sample(
+                    res["bboxes"], res["scores"], res["labels"],
+                    batch["gt_boxes"][i][batch["gt_mask"][i]],
+                    batch["gt_labels"][i][batch["gt_mask"][i]],
+                    pred_mask=res["mask"], sample_token=token)
+            n_done += 1
+        logging.info("evaluated %d samples", n_done)
+
+    if args.out:
+        format_nusc_submission(results_per_sample, dataset.classes, args.out)
+        logging.info("wrote submission to %s", args.out)
+
+    if evaluator._num_samples > 0:
+        metrics = evaluator.evaluate()
+        logging.info("===== results =====")
+        for k in ("NDS", "mAP", "mATE", "mASE", "mAOE", "mAVE", "mAAE"):
+            logging.info("%s: %.4f", k, metrics[k])
+        for k, v in metrics.items():
+            if k.startswith("AP_"):
+                logging.info("%s: %.4f", k, v)
+        return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -5,3 +5,4 @@ from . import resnet  # noqa: F401
 from . import fpn  # noqa: F401
 from . import detector  # noqa: F401
 from . import vovnet  # noqa: F401
+from . import eva02  # noqa: F401

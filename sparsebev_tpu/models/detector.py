@@ -93,7 +93,11 @@ class SparseBEV(nn.Module):
         if self.use_grid_mask and train:
             img = grid_mask(self.make_rng("aug"), img)
         img = img.astype(self.compute_dtype)
-        feats = self.backbone(img)
+        from .eva02 import EVA02
+        if isinstance(self.backbone, EVA02):
+            feats = self.backbone(img, deterministic=not train)
+        else:
+            feats = self.backbone(img)
         if self.neck is not None:
             feats = self.neck(feats)
         return [f.astype(jnp.float32) for f in feats]

@@ -1,0 +1,121 @@
+"""EVA02 ViT backbone tests: RoPE math vs the reference torch formulation,
+window partition roundtrip, pyramid shapes, detector integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsebev_tpu.models.eva02 import (
+    EVA02, ViT, build_rope_tables, apply_rope, window_partition,
+    window_unpartition, _rotate_half)
+
+
+def test_rope_tables_match_torch(rng):
+    torch = pytest.importorskip("torch")
+    from einops import repeat as erepeat
+
+    head_dim, pt, ft = 16, 16, 8
+    cos, sin = build_rope_tables(head_dim, pt, ft)
+
+    # reference VisionRotaryEmbeddingFast (utils.py:304-361)
+    dim = head_dim // 2
+    freqs = 1.0 / (10000 ** (torch.arange(0, dim, 2)[: dim // 2].float() / dim))
+    t = torch.arange(ft) / ft * pt
+    f = torch.einsum("i,j->ij", t, freqs)
+    f = erepeat(f, "n d -> n (d r)", r=2)
+    grid = torch.cat([
+        f[:, None, :].expand(ft, ft, f.shape[-1]),
+        f[None, :, :].expand(ft, ft, f.shape[-1])], dim=-1)
+    np.testing.assert_allclose(cos, grid.cos().reshape(-1, head_dim).numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sin, grid.sin().reshape(-1, head_dim).numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rotate_half():
+    x = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    out = np.asarray(_rotate_half(x))
+    np.testing.assert_allclose(out, [[-2.0, 1.0, -4.0, 3.0]])
+
+
+def test_rope_preserves_norm(rng):
+    cos, sin = build_rope_tables(16, 16, 4)
+    t = jnp.asarray(rng.randn(2, 16, 3, 16).astype(np.float32))
+    out = apply_rope(t, jnp.asarray(cos), jnp.asarray(sin))
+    # rotation preserves the norm of each (even, odd) pair
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(t), axis=-1), rtol=1e-4)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 10, 14, 8).astype(np.float32))
+    w, pad_hw = window_partition(x, 4)
+    assert w.shape == (2 * 3 * 4, 4, 4, 8)
+    back = window_unpartition(w, 4, pad_hw, (10, 14))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_eva():
+    return EVA02(
+        img_size=64, real_img_size=(32, 64), patch_size=16, embed_dim=64,
+        depth=2, num_heads=4, window_size=2, window_block_indexes=(0,),
+        residual_block_indexes=(1,), fpn_out_channels=32,
+        fpn_scale_factors=(4.0, 2.0, 1.0, 0.5), fpn_top_block=True,
+        pretrain_img_size=32)
+
+
+def test_eva02_pyramid_shapes(tiny_eva, rng):
+    x = jnp.asarray(rng.randn(2, 32, 64, 3).astype(np.float32))
+    vars_ = tiny_eva.init(jax.random.PRNGKey(0), x)
+    outs = tiny_eva.apply(vars_, x)
+    # strides 4, 8, 16, 32, 64 on a 32x64 input
+    assert [o.shape for o in outs] == [
+        (2, 8, 16, 32), (2, 4, 8, 32), (2, 2, 4, 32), (2, 1, 2, 32),
+        (2, 1, 1, 32)]
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_eva02_in_detector(rng):
+    from sparsebev_tpu.models.detector import SparseBEV
+    pc = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
+    model = SparseBEV(
+        img_backbone=dict(
+            type="EVA02", img_size=64, real_img_size=(32, 64), patch_size=16,
+            embed_dim=64, depth=2, num_heads=4, window_size=2,
+            window_block_indexes=(0,), fpn_out_channels=64,
+            fpn_scale_factors=(4.0, 2.0, 1.0, 0.5), fpn_top_block=True,
+            pretrain_img_size=32),
+        img_neck=None,
+        pts_bbox_head=dict(
+            type="SparseBEVHead", num_classes=10, in_channels=64,
+            num_query=16, num_frames=2, num_points=2, num_layers=2,
+            num_levels=5, code_size=10, pc_range=pc),
+        data_aug=dict(img_norm_cfg=dict(mean=[123.675, 116.28, 103.53],
+                                        std=[58.395, 57.12, 57.375],
+                                        to_rgb=True)),
+        stop_prev_grad=1,
+    )
+    img = jnp.asarray(rng.uniform(0, 255, (1, 12, 32, 64, 3)).astype(np.float32))
+    l2i = jnp.asarray(rng.randn(1, 12, 4, 4).astype(np.float32))
+    td = jnp.asarray([[0.0, 0.5]], dtype=jnp.float32)
+    vars_ = model.init({"params": jax.random.PRNGKey(0),
+                        "aug": jax.random.PRNGKey(1)}, img, l2i, td, train=False)
+    preds = model.apply(vars_, img, l2i, td, train=False)
+    assert preds["all_cls_scores"].shape == (2, 1, 16, 10)
+    assert np.isfinite(np.asarray(preds["all_cls_scores"])).all()
+
+    # stop_prev_grad: no gradient reaches the backbone from history frames
+    # (but some gradient still flows via the current frame)
+    def loss_fn(params):
+        p = model.apply({"params": params}, img, l2i, td, train=True,
+                        rngs={"aug": jax.random.PRNGKey(2),
+                              "dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(p["all_cls_scores"] ** 2)
+
+    grads = jax.grad(loss_fn)(vars_["params"])
+    gmax = max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(grads["backbone"]))
+    assert np.isfinite(gmax) and gmax > 0

@@ -50,9 +50,14 @@ class NuScenesSweepDataset:
         if infos is not None:
             self.data_infos = infos
         else:
-            with open(ann_file, "rb") as f:
-                data = pickle.load(f)
-            infos = data["infos"] if isinstance(data, dict) else data
+            # ann_file may be a list (e.g. train+val "trainval" configs,
+            # reference configs/vov99...py:95-98)
+            files = ann_file if isinstance(ann_file, (list, tuple)) else [ann_file]
+            infos = []
+            for f in files:
+                with open(f, "rb") as fh:
+                    data = pickle.load(fh)
+                infos.extend(data["infos"] if isinstance(data, dict) else data)
             self.data_infos = sorted(infos, key=lambda e: e["timestamp"])
 
         # instantiate pipeline steps from configs

@@ -23,7 +23,8 @@ from flax import linen as nn
 
 from ..ops.box_ops import decode_bbox
 from ..ops.geometry import inverse_sigmoid
-from ..ops.projection import make_sample_points, sampling_4d
+from ..ops.projection import make_sample_points, project_points, sampling_4d
+from ..utils.dump import DUMP, dump_save
 from .layers import (FFN, Linear, MultiheadAttention, bias_init_with_prob,
                      layer_norm_nd, torch_linear_kernel_init)
 
@@ -52,6 +53,7 @@ class SparseBEVSelfAttention(nn.Module):
                          jax.random.uniform(key, shape, dtype, 0.0, 2.0),
                      name="gen_tau")(query_feat)  # [B, Q, H]
 
+        dump_save("sasa_tau", tau)  # viz_sample_points consumes these
         tau = jnp.transpose(tau, (0, 2, 1))  # [B, H, Q]
         attn_mask = dist[:, None, :, :] * tau[..., None]  # [B, H, Q, Q]
         if pre_attn_mask is not None:  # query denoising group isolation
@@ -104,6 +106,13 @@ class SparseBEVSampling(nn.Module):
         sw = sw.reshape(b, q, g, 1, p, self.num_levels)
         sw = jax.nn.softmax(sw, axis=-1)
         sw = jnp.broadcast_to(sw, (b, q, g, t, p, self.num_levels))
+
+        if DUMP.enabled:  # camera-space points + valid masks for the viz tools
+            loc, valid = project_points(
+                pts.reshape(b, q, t, g * p, 3), lidar2img, image_h, image_w,
+                self.num_views)
+            dump_save("sample_points_cam", loc)
+            dump_save("sample_points_cam_valid_mask", valid)
 
         return sampling_4d(pts, mlvl_feats, sw, lidar2img, image_h, image_w,
                            num_views=self.num_views)  # [B, Q, G, T*P, C/G]
@@ -290,11 +299,16 @@ class SparseBEVTransformer(nn.Module):
             num_views=n, name="decoder_layer")
 
         cls_scores, bbox_preds = [], []
-        for _ in range(self.num_layers):
+        for layer_idx in range(self.num_layers):
+            DUMP.stage_count = layer_idx
             query_feat, cls_score, bbox_pred = layer(
                 query_bbox, query_feat, grouped, attn_mask,
                 lidar2img, time_diff, image_h, image_w,
                 deterministic=deterministic)
+            if DUMP.enabled:  # per-stage intermediates (reference :185-191)
+                dump_save("query_bbox", decode_bbox(query_bbox, self.pc_range))
+                dump_save("bbox_pred", decode_bbox(bbox_pred, self.pc_range))
+                dump_save("cls_score", jax.nn.sigmoid(cls_score))
             query_bbox = jax.lax.stop_gradient(bbox_pred)
             cls_scores.append(cls_score)
             bbox_preds.append(bbox_pred)

@@ -24,10 +24,11 @@ class DumpConfig:
         os.makedirs(self.out_dir, exist_ok=True)
         return self.out_dir
 
-    def save(self, name: str, array) -> None:
+    def save(self, name: str, array, stage: int = None) -> None:
         if not self.enabled:
             return
-        path = os.path.join(self.out_dir, f"{name}_stage{self.stage_count}.npy")
+        stage = self.stage_count if stage is None else stage
+        path = os.path.join(self.out_dir, f"{name}_stage{stage}.npy")
         np.save(path, np.asarray(array))
 
     def load(self, name: str, stage: int):
@@ -36,3 +37,16 @@ class DumpConfig:
 
 
 DUMP = DumpConfig()
+
+
+def dump_save(name: str, array) -> None:
+    """jit-safe dump: checked at trace time, saved via a host callback with
+    the stage index captured at trace time (the decoder sets
+    ``DUMP.stage_count`` per layer iteration, mirroring
+    models/sparsebev_transformer.py:88)."""
+    if not DUMP.enabled:
+        return
+    import jax
+    stage = DUMP.stage_count
+    jax.debug.callback(
+        lambda a, _n=name, _s=stage: DUMP.save(_n, a, stage=_s), array)

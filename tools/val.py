@@ -22,6 +22,10 @@ def parse_args():
     parser.add_argument("--limit", type=int, default=None,
                         help="evaluate only the first N samples")
     parser.add_argument("--out", default=None, help="submission json path")
+    parser.add_argument("--online", action="store_true",
+                        help="streaming eval with the per-frame feature cache "
+                             "(reference simple_test_online; requires "
+                             "batch-size 1)")
     parser.add_argument("--override", nargs="+", default=None)
     parser.add_argument("--platform", default=None)
     return parser.parse_args()
@@ -71,6 +75,14 @@ def main():
     else:
         logging.warning("no --weights given: evaluating a random-init model")
 
+    streaming = None
+    if args.online:
+        assert args.batch_size == 1, "--online requires --batch-size 1"
+        from sparsebev_tpu.inference import StreamingDetector
+        streaming = StreamingDetector(
+            model, variables,
+            num_frames=cfg.model["pts_bbox_head"]["num_frames"], coder=coder)
+
     @jax.jit
     def forward(variables, img, lidar2img, time_diff):
         preds = model.apply(variables, img, lidar2img, time_diff, train=False)
@@ -81,9 +93,14 @@ def main():
     results_per_sample = {}
     n_done = 0
     for batch in loader:
-        dec = jax.device_get(forward(
-            variables, jnp.asarray(batch["img"]),
-            jnp.asarray(batch["lidar2img"]), jnp.asarray(batch["time_diff"])))
+        if streaming is not None:
+            dec = jax.device_get(streaming.infer(
+                batch["img"], batch["lidar2img"], batch["time_diff"],
+                batch["img_metas"][0].get("filename", [])))
+        else:
+            dec = jax.device_get(forward(
+                variables, jnp.asarray(batch["img"]),
+                jnp.asarray(batch["lidar2img"]), jnp.asarray(batch["time_diff"])))
         for i, meta in enumerate(batch["img_metas"]):
             token = meta.get("sample_idx") or f"sample_{n_done}"
             res = {k: np.asarray(v[i]) for k, v in dec.items()}

@@ -134,7 +134,10 @@ def sampling_4d(sample_points: jnp.ndarray,
     sw = jnp.transpose(scale_weights, (0, 2, 3, 1, 4, 5))
     sw = sw.reshape(b * g * t, q, p, num_levels)
 
-    final = msmv_sampling(list(mlvl_feats), loc, sw)  # [BTG, Q, P, C]
+    from .msmv_sampling import PackedFeatures
+    if not isinstance(mlvl_feats, PackedFeatures):
+        mlvl_feats = list(mlvl_feats)
+    final = msmv_sampling(mlvl_feats, loc, sw)  # [BTG, Q, P, C]
 
     c = final.shape[-1]
     final = final.reshape(b, t, g, q, p, c)

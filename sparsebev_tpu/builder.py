@@ -16,7 +16,6 @@ from typing import Any, Dict, List, Optional
 import jax.numpy as jnp
 
 from .registry import BBOX_CODERS, DATASETS, DETECTORS, build
-from .config import Config
 
 # populate the registries
 from . import models as _models  # noqa: F401

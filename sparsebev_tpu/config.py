@@ -17,7 +17,7 @@ import ast
 import copy
 import os
 import types
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 _DELETE_KEY = "_delete_"
 _BASE_KEY = "_base_"

@@ -15,7 +15,7 @@ models/sparsebev.py:72-95). CPU variants are provided for config parity.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 
@@ -30,6 +30,13 @@ CAM_TYPES = [
 
 
 def _imread_bgr(path: str) -> np.ndarray:
+    # native libjpeg decoder when built (make -C csrc); PIL fallback —
+    # both sit on libjpeg, so pixels agree bit-for-bit
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from . import fastloader
+        out = fastloader.decode(path)
+        if out is not None:
+            return out
     from PIL import Image
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGB"))

@@ -22,7 +22,7 @@ worst case 1.0 unless attribute scores are supplied.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ whole loop is retrace-free.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,6 @@ rows) and their assignments are discarded by the caller via the mask.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,7 @@ are pre-reduced to a ``time_diff [B, T]`` input so the whole decoder jits.
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ from ..ops.geometry import inverse_sigmoid
 from ..ops.projection import make_sample_points, project_points, sampling_4d
 from ..utils.dump import DUMP, dump_save
 from .layers import (FFN, Linear, MultiheadAttention, bias_init_with_prob,
-                     layer_norm_nd, torch_linear_kernel_init)
+                     layer_norm_nd)
 
 
 class SparseBEVSelfAttention(nn.Module):
@@ -269,6 +268,9 @@ class SparseBEVTransformer(nn.Module):
     num_groups: int = 4
     mixer_out_points: int = 128
     num_views: int = 6
+    with_cp: bool = True  # remat each decoder layer in training (the
+    # reference checkpoints SASA/sampling/mixing,
+    # models/sparsebev_transformer.py:230-234,313-317,383-387)
 
     @nn.compact
     def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,
@@ -297,7 +299,14 @@ class SparseBEVTransformer(nn.Module):
         from ..ops.msmv_sampling import pack_mlvl_feats
         grouped = pack_mlvl_feats(grouped)
 
-        layer = SparseBEVTransformerDecoderLayer(
+        layer_cls = SparseBEVTransformerDecoderLayer
+        if self.with_cp and not deterministic:
+            # rematerialize each layer's activations in backward (the decoder
+            # dominates activation memory at Q=900-1600, T=8-15); image size
+            # and the deterministic flag must stay static
+            layer_cls = nn.remat(SparseBEVTransformerDecoderLayer,
+                                 static_argnums=(7, 8, 9))
+        layer = layer_cls(
             self.embed_dims, self.num_frames, self.num_points, self.num_levels,
             self.num_classes, self.code_size, pc_range=self.pc_range,
             num_groups=g, mixer_out_points=self.mixer_out_points,
@@ -309,7 +318,7 @@ class SparseBEVTransformer(nn.Module):
             query_feat, cls_score, bbox_pred = layer(
                 query_bbox, query_feat, grouped, attn_mask,
                 lidar2img, time_diff, image_h, image_w,
-                deterministic=deterministic)
+                deterministic)  # positional: static under nn.remat
             if DUMP.enabled:  # per-stage intermediates (reference :185-191)
                 dump_save("query_bbox", decode_bbox(query_bbox, self.pc_range))
                 dump_save("bbox_pred", decode_bbox(bbox_pred, self.pc_range))

@@ -16,7 +16,6 @@ checkpointing via ``nn.remat``; block freezing via optimizer masking.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax

@@ -11,7 +11,7 @@ optimizer masking (see train/optim.py), optional per-stage remat
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,8 @@ trainable); ``frozen_stages`` is enforced by optimizer masking.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -30,13 +30,33 @@ Both are jit/vmap/grad-safe with static shapes.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 
 
-class PackedFeatures(NamedTuple):
+# sampling implementation selector: "xla" (pair-gather everywhere; default,
+# differentiable) or "hybrid" (MXU one-hot Pallas kernel for small levels +
+# pair-gather for large ones; inference-only, ~2x faster on v5e).
+_SAMPLING_IMPL = "xla"
+# use the MXU path when a level's one-hot matmul work (N*H * W*C MACs per
+# point) undercuts ~2 gather indices/point at ~17ns each on the MXU
+_MXU_LEVEL_MAX_ELEMS = 2_200_000
+
+
+def set_sampling_impl(name: str) -> None:
+    global _SAMPLING_IMPL
+    assert name in ("xla", "hybrid"), name
+    _SAMPLING_IMPL = name
+
+
+def get_sampling_impl() -> str:
+    return _SAMPLING_IMPL
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedFeatures:
     """Per-level row tables ``[B*N*H_l, W_l + 1, C]`` (one zero column padded
     on the right so an x0 = W-1 pair-slice reads a zero, never a neighbour).
 
@@ -46,24 +66,46 @@ class PackedFeatures(NamedTuple):
     x-adjacent bilinear taps ``(y, x0), (y, x0+1)`` as a (1, 2, C) slice,
     halving the index count (XLA's TPU gather cost is per-index: measured
     ~14 ns/idx for single taps vs ~17 ns for pairs on v5e => ~1.5x).
+
+    Registered as a pytree with STATIC metadata (batch/num_views/shapes stay
+    Python ints across jit boundaries).
     """
-    tables: Tuple[jnp.ndarray, ...]             # per level [B*N*H, W+1, C]
-    batch: int
-    num_views: int
-    level_shapes: Tuple[Tuple[int, int], ...]   # ((H, W), ...) static
+
+    def __init__(self, tables, batch, num_views, level_shapes, mxu_tables=()):
+        self.tables = tuple(tables)          # per level [B*N*H, W+1, C] or None
+        self.batch = batch
+        self.num_views = num_views
+        self.level_shapes = tuple(level_shapes)
+        # "hybrid" impl only: bf16 [B, N*H, W*C] tables for the MXU levels
+        self.mxu_tables = tuple(mxu_tables)
+
+    def tree_flatten(self):
+        return ((self.tables, self.mxu_tables),
+                (self.batch, self.num_views, self.level_shapes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        tables, mxu_tables = children
+        return cls(tables, aux[0], aux[1], aux[2], mxu_tables)
 
 
 def pack_mlvl_feats(mlvl_feats: Sequence[jnp.ndarray]) -> PackedFeatures:
     b, n = mlvl_feats[0].shape[0], mlvl_feats[0].shape[1]
     c = mlvl_feats[0].shape[-1]
-    tables, shapes = [], []
+    hybrid = _SAMPLING_IMPL == "hybrid"
+    tables, shapes, mxu = [], [], []
     for feat in mlvl_feats:
         h, w = feat.shape[2], feat.shape[3]
-        t = feat.reshape(b * n * h, w, c)
-        t = jnp.pad(t, ((0, 0), (0, 1), (0, 0)))  # zero guard column
-        tables.append(t)
+        if hybrid and n * h * w * c <= _MXU_LEVEL_MAX_ELEMS:
+            mxu.append(feat.reshape(b, n * h, w * c).astype(jnp.bfloat16))
+            tables.append(None)
+        else:
+            mxu.append(None)
+            t = feat.reshape(b * n * h, w, c)
+            t = jnp.pad(t, ((0, 0), (0, 1), (0, 0)))  # zero guard column
+            tables.append(t)
         shapes.append((h, w))
-    return PackedFeatures(tuple(tables), b, n, tuple(shapes))
+    return PackedFeatures(tuple(tables), b, n, tuple(shapes), tuple(mxu))
 
 
 def _bilinear_taps(x_pix, y_pix, h, w):
@@ -143,7 +185,10 @@ def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
     b, q, p, _ = sampling_locations.shape
     assert b == packed.batch
     n = packed.num_views
-    c = packed.tables[0].shape[-1]
+    if packed.tables[0] is not None:
+        c = packed.tables[0].shape[-1]
+    else:  # level 0 on the MXU path: [B, N*H, W*C]
+        c = packed.mxu_tables[0].shape[-1] // packed.level_shapes[0][1]
     k = b * q * p
 
     x = sampling_locations[..., 0].reshape(k)
@@ -161,6 +206,44 @@ def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
         h, w = packed.level_shapes[lvl]
         x_pix = x * (w - 1)
         y_pix = y * (h - 1)
+
+        if (packed.mxu_tables and lvl < len(packed.mxu_tables)
+                and packed.mxu_tables[lvl] is not None):
+            # MXU one-hot path (separable bilinear weights; see msmv_pallas)
+            from .msmv_pallas import onehot_sample_level
+            lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
+            x0f = jnp.floor(x_pix)
+            y0f = jnp.floor(y_pix)
+            lx = x_pix - x0f
+            ly = y_pix - y0f
+            ix0 = x0f.astype(jnp.int32)
+            iy0 = y0f.astype(jnp.int32)
+            inx0 = (ix0 >= 0) & (ix0 <= w - 1)
+            inx1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
+            iny0 = (iy0 >= 0) & (iy0 <= h - 1)
+            iny1 = (iy0 + 1 >= 0) & (iy0 + 1 <= h - 1)
+            wy0 = (1.0 - ly) * iny0 * lw
+            wy1 = ly * iny1 * lw
+            # slot window [s0, s0+1] with per-slot weight remap at both edges
+            s0 = jnp.clip(ix0, 0, w - 2)
+            wx0 = (jnp.where(s0 == ix0, (1.0 - lx) * inx0, 0.0)
+                   + jnp.where(s0 == ix0 + 1, lx * inx1, 0.0))
+            wx1 = (jnp.where(s0 + 1 == ix0, (1.0 - lx) * inx0, 0.0)
+                   + jnp.where(s0 + 1 == ix0 + 1, lx * inx1, 0.0))
+            rows0 = view * h + jnp.clip(iy0, 0, h - 1)
+            rows1 = view * h + jnp.clip(iy0 + 1, 0, h - 1)
+            kk = q * p
+            res = onehot_sample_level(
+                packed.mxu_tables[lvl],
+                rows0.reshape(b, kk), rows1.reshape(b, kk),
+                wy0.reshape(b, kk), wy1.reshape(b, kk),
+                s0.reshape(b, kk),
+                wx0.reshape(b, kk), wx1.reshape(b, kk),
+                w=w, c=c,
+                interpret=jax.default_backend() == "cpu")
+            out = out + res.reshape(k, c)
+            continue
+
         (ix0, iy0, ix1, iy1), (w00, w01, w10, w11) = _bilinear_taps(
             x_pix, y_pix, h, w)
         # x0 clipped into [0, W-1]: x0+1 then lands in the zero guard column

@@ -19,7 +19,7 @@ so ported weights reproduce the reference bit-for-bit.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

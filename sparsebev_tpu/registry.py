@@ -8,7 +8,6 @@ name, and configs instantiate them with ``dict(type='Name', **kwargs)``.
 
 from __future__ import annotations
 
-import inspect
 from typing import Any, Callable, Dict, Optional
 
 

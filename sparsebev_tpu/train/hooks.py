@@ -12,8 +12,6 @@ import logging
 import time
 from typing import Any, Dict, Optional
 
-import numpy as np
-
 from ..registry import HOOKS
 
 

@@ -12,7 +12,7 @@ CosineAnnealing-with-linear-warmup schedule. ``frozen_stages`` freezing
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,39 @@ def resnet_frozen_patterns(frozen_stages: int, prefix: str = "backbone") -> list
     for s in range(1, frozen_stages + 1):
         pats.append(f"{prefix}/layer{s}_")
     return pats
+
+
+def vovnet_frozen_patterns(frozen_stages: int, prefix: str = "backbone") -> list:
+    """VoVNet freezing: stem + stages 2..k+1 (reference vovnet.py:361-372)."""
+    pats = []
+    if frozen_stages >= 0:
+        pats += [f"{prefix}/stem1", f"{prefix}/stem2", f"{prefix}/stem3"]
+    for s in range(1, frozen_stages + 1):
+        pats.append(f"{prefix}/stage{s + 1}_")
+    return pats
+
+
+def eva02_frozen_patterns(frozen_blocks: int, prefix: str = "backbone") -> list:
+    """EVA02 freezing: patch embed + pos embed + first k blocks
+    (reference eva02/vit.py:430-441)."""
+    pats = []
+    if frozen_blocks >= 0:
+        pats += [f"{prefix}/vit/patch_embed", f"{prefix}/vit/pos_embed"]
+    for i in range(frozen_blocks):
+        pats.append(f"{prefix}/vit/block{i}/")
+    return pats
+
+
+def backbone_frozen_patterns(backbone_cfg: Mapping, prefix: str = "backbone") -> list:
+    """Dispatch by backbone type from the model config."""
+    btype = backbone_cfg.get("type", "ResNet")
+    if btype == "ResNet":
+        return resnet_frozen_patterns(backbone_cfg.get("frozen_stages", -1), prefix)
+    if btype == "VoVNet":
+        return vovnet_frozen_patterns(backbone_cfg.get("frozen_stages", -1), prefix)
+    if btype == "EVA02":
+        return eva02_frozen_patterns(backbone_cfg.get("frozen_blocks", -1), prefix)
+    return []
 
 
 def build_optimizer(params,

@@ -9,11 +9,9 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
-import numpy as np
 
 from ..parallel import make_mesh, replicate, shard_batch
 from .hooks import Hook, IterTimerHook

@@ -25,6 +25,8 @@ def parse_args():
     parser.add_argument("--samples", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the timed loop")
     return parser.parse_args()
 
 
@@ -86,6 +88,10 @@ def main():
     timed = loop(args.samples)
     float(warm(variables, cache, frame))
     float(timed(variables, cache, frame))  # compile
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            float(timed(variables, cache, frame))
+        logging.info("profiler trace written to %s", args.profile_dir)
     t0 = time.perf_counter()
     float(timed(variables, cache, frame))
     dt = (time.perf_counter() - t0) / args.samples

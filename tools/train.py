@@ -45,7 +45,7 @@ def main():
     from sparsebev_tpu.train.hooks import (CheckpointHook, IterTimerHook,
                                            SamplerSeedHook, TextLoggerHook,
                                            TensorboardLoggerHook)
-    from sparsebev_tpu.train.optim import resnet_frozen_patterns
+    from sparsebev_tpu.train.optim import backbone_frozen_patterns
     from sparsebev_tpu.train.runner import Runner
     from sparsebev_tpu.utils import (backup_code, init_logging,
                                      load_torch_checkpoint, merge_pretrained,
@@ -103,10 +103,8 @@ def main():
     opt_cfg = cfg.optimizer
     custom_keys = {k: v["lr_mult"] for k, v in
                    opt_cfg.get("paramwise_cfg", {}).get("custom_keys", {}).items()}
-    frozen = []
-    if cfg.model["img_backbone"].get("frozen_stages", -1) >= 0:
-        frozen = resnet_frozen_patterns(
-            cfg.model["img_backbone"]["frozen_stages"], prefix="backbone")
+    frozen = backbone_frozen_patterns(cfg.model["img_backbone"],
+                                      prefix="backbone")
     tx, schedule = build_optimizer(
         variables["params"], lr=opt_cfg["lr"],
         weight_decay=opt_cfg.get("weight_decay", 0.01),

@@ -315,13 +315,16 @@ class SimpleFeaturePyramid(nn.Module):
             x = feat
             if scale == 4.0:
                 x = nn.ConvTranspose(dim // 2, (2, 2), strides=(2, 2),
+                                     transpose_kernel=True,
                                      dtype=self.dtype, name=f"s{idx}_deconv1")(x)
                 x = nn.LayerNorm(epsilon=1e-6, name=f"s{idx}_ln0")(x)
                 x = nn.gelu(x)
                 x = nn.ConvTranspose(dim // 4, (2, 2), strides=(2, 2),
+                                     transpose_kernel=True,
                                      dtype=self.dtype, name=f"s{idx}_deconv2")(x)
             elif scale == 2.0:
                 x = nn.ConvTranspose(dim // 2, (2, 2), strides=(2, 2),
+                                     transpose_kernel=True,
                                      dtype=self.dtype, name=f"s{idx}_deconv1")(x)
             elif scale == 1.0:
                 pass

@@ -159,6 +159,159 @@ def _port_fpn(sd: Dict[str, np.ndarray], prefix: str):
     return params
 
 
+def _port_vovnet(sd: Dict[str, np.ndarray], prefix: str):
+    """torch VoVNet (reference models/backbones/vovnet.py naming: OrderedDict
+    keys with '/'-separated tags) -> our flax VoVNet params/batch_stats."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(src):
+        w = sd[f"{src}.weight"]
+        out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        if f"{src}.bias" in sd:
+            out["bias"] = sd[f"{src}.bias"]
+        return out
+
+    def bn(src):
+        return ({"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]},
+                {"mean": sd[f"{src}.running_mean"],
+                 "var": sd[f"{src}.running_var"]})
+
+    def convbn(dst_p, dst_s, src_conv, src_norm):
+        dst_p["conv"] = conv(src_conv)
+        dst_p["norm"], dst_s["norm"] = bn(src_norm)
+
+    # stem: stem.stem_{k}/conv + /norm
+    for k in (1, 2, 3):
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        convbn(p, s, f"{prefix}stem.stem_{k}/conv", f"{prefix}stem.stem_{k}/norm")
+        params[f"stem{k}"] = p
+        stats[f"stem{k}"] = s
+
+    # stages: stage{n}.OSA{n}_{b}.{layers.i.TAG/conv, concat.TAG/conv, ese.fc}
+    osa_re = re.compile(rf"^{re.escape(prefix)}stage(\d+)\.OSA(\d+)_(\d+)\.")
+    seen = sorted({(int(m.group(1)), int(m.group(3)))
+                   for k in sd if (m := osa_re.match(k))})
+    for stage, block in seen:
+        src = f"{prefix}stage{stage}.OSA{stage}_{block}"
+        dst = f"stage{stage}_block{block - 1}"
+        p, s = {}, {}
+        i = 0
+        while f"{src}.layers.{i}.OSA{stage}_{block}_{i}/conv.weight" in sd:
+            lp, ls = {}, {}
+            convbn(lp, ls, f"{src}.layers.{i}.OSA{stage}_{block}_{i}/conv",
+                   f"{src}.layers.{i}.OSA{stage}_{block}_{i}/norm")
+            p[f"layer{i}"] = lp
+            s[f"layer{i}"] = ls
+            i += 1
+        cp, cs = {}, {}
+        convbn(cp, cs, f"{src}.concat.OSA{stage}_{block}_concat/conv",
+               f"{src}.concat.OSA{stage}_{block}_concat/norm")
+        p["concat"] = cp
+        s["concat"] = cs
+        if f"{src}.ese.fc.weight" in sd:
+            p["ese"] = {"fc": conv(f"{src}.ese.fc")}
+        params[dst] = p
+        stats[dst] = s
+    return params, stats
+
+
+def _linear(sd, src, dst_bias=True):
+    out = {"linear": {"kernel": np.transpose(sd[f"{src}.weight"])}}
+    if dst_bias and f"{src}.bias" in sd:
+        out["linear"]["bias"] = sd[f"{src}.bias"]
+    return out
+
+
+def _ln(sd, src):
+    return {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+
+
+def _port_eva02(sd: Dict[str, np.ndarray], prefix: str):
+    """EVA02 checkpoint (detectron2-style keys ``backbone.net.*`` for the ViT
+    trunk and ``backbone.simfp_*`` for the pyramid) -> our flax EVA02."""
+    net = f"{prefix}net."
+    vit: Dict[str, Any] = {}
+
+    vit["patch_embed"] = {
+        "kernel": np.transpose(sd[f"{net}patch_embed.proj.weight"], (2, 3, 1, 0)),
+        "bias": sd[f"{net}patch_embed.proj.bias"],
+    }
+    if f"{net}pos_embed" in sd:
+        vit["pos_embed"] = sd[f"{net}pos_embed"]
+
+    blk_re = re.compile(rf"^{re.escape(net)}blocks\.(\d+)\.")
+    n_blocks = 1 + max((int(m.group(1)) for k in sd if (m := blk_re.match(k))),
+                       default=-1)
+    for i in range(n_blocks):
+        b = f"{net}blocks.{i}."
+        attn = {
+            "q_proj": {"linear": {"kernel": np.transpose(sd[f"{b}attn.q_proj.weight"]),
+                                  "bias": sd[f"{b}attn.q_bias"]}},
+            "k_proj": {"linear": {"kernel": np.transpose(sd[f"{b}attn.k_proj.weight"])}},
+            "v_proj": {"linear": {"kernel": np.transpose(sd[f"{b}attn.v_proj.weight"]),
+                                  "bias": sd[f"{b}attn.v_bias"]}},
+            "proj": _linear(sd, f"{b}attn.proj"),
+        }
+        vit[f"block{i}"] = {
+            "norm1": _ln(sd, f"{b}norm1"),
+            "norm2": _ln(sd, f"{b}norm2"),
+            "attn": attn,
+            "mlp": {
+                "w1": _linear(sd, f"{b}mlp.w1"),
+                "w2": _linear(sd, f"{b}mlp.w2"),
+                "w3": _linear(sd, f"{b}mlp.w3"),
+                "ffn_ln": _ln(sd, f"{b}mlp.ffn_ln"),
+            },
+        }
+
+    # SimpleFeaturePyramid: simfp_{stage} sequentials. Per scale the torch
+    # Sequential indices are: 4.0 -> [deconv, LN, GELU, deconv, conv1, conv2];
+    # 2.0 -> [deconv, conv1, conv2]; 1.0 -> [conv1, conv2];
+    # 0.5 -> [maxpool, conv1, conv2]; detectron2 Conv2d carries .norm.
+    sfp: Dict[str, Any] = {}
+
+    def deconv(src):
+        # torch ConvTranspose2d weight [in, out, kh, kw] -> [kh, kw, out, in]
+        # (our SFP deconvs use flax transpose_kernel=True = torch semantics)
+        out = {"kernel": np.transpose(sd[f"{src}.weight"], (2, 3, 1, 0))}
+        if f"{src}.bias" in sd:
+            out["bias"] = sd[f"{src}.bias"]
+        return out
+
+    def conv(src):
+        out = {"kernel": np.transpose(sd[f"{src}.weight"], (2, 3, 1, 0))}
+        if f"{src}.bias" in sd:
+            out["bias"] = sd[f"{src}.bias"]
+        return out
+
+    # stage number -> (our scale index, member layout)
+    layouts = {
+        2: ("s0", ["deconv1", "ln0", None, "deconv2", "conv1", "conv2"]),
+        3: ("s1", ["deconv1", "conv1", "conv2"]),
+        4: ("s2", ["conv1", "conv2"]),
+        5: ("s3", [None, "conv1", "conv2"]),
+    }
+    for stage, (sidx, members) in layouts.items():
+        base = f"{prefix}simfp_{stage}."
+        if f"{base}0.weight" not in sd and f"{base}1.weight" not in sd:
+            continue
+        for j, member in enumerate(members):
+            if member is None:
+                continue
+            src = f"{base}{j}"
+            if member.startswith("deconv"):
+                sfp[f"{sidx}_{member}"] = deconv(src)
+            elif member.startswith("ln"):
+                sfp[f"{sidx}_{member}"] = _ln(sd, src)
+            else:  # detectron2 Conv2d with fused .norm
+                sfp[f"{sidx}_{member}"] = conv(src)
+                ln_dst = {"conv1": "ln1", "conv2": "ln2"}[member]
+                sfp[f"{sidx}_{ln_dst}"] = _ln(sd, f"{src}.norm")
+    return {"vit": vit, "sfp": sfp}
+
+
 def port_torch_params(state_dict: Dict[str, np.ndarray],
                       revise_keys: Sequence[Tuple[str, str]] = (),
                       backbone_type: str = "ResNet"):
@@ -177,6 +330,14 @@ def port_torch_params(state_dict: Dict[str, np.ndarray],
         p, s = _port_resnet(sd, bb_prefix)
         params["backbone"] = p
         stats["backbone"] = s
+    elif backbone_type == "VoVNet":
+        p, s = _port_vovnet(sd, bb_prefix)
+        params["backbone"] = p
+        stats["backbone"] = s
+    elif backbone_type == "EVA02":
+        # EVA02 pretrains carry detectron2-style 'backbone.net.*' keys
+        # (reference eva02/main.py:84-89 loads non-strict onto the module)
+        params["backbone"] = _port_eva02(sd, "backbone.")
     else:
         raise NotImplementedError(backbone_type)
 

@@ -26,6 +26,11 @@ def parse_args():
                         help="config overrides: key.path=value")
     parser.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu for smoke runs)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host training: jax.distributed.initialize "
+                             "from TPU pod env; the data mesh then spans "
+                             "ICI + DCN (replaces torchrun/NCCL init, "
+                             "reference train.py:92)")
     return parser.parse_args()
 
 
@@ -35,9 +40,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
-    from sparsebev_tpu.config import Config, _parse_value
+    from sparsebev_tpu.config import Config
     from sparsebev_tpu.builder import build_model, build_dataset, build_dataloader
     from sparsebev_tpu.parallel import make_mesh_for_batch
     from sparsebev_tpu.train import (build_optimizer, create_train_state,
@@ -73,8 +80,9 @@ def main():
     # data
     dataset = build_dataset(cfg.data["train"])
     loader = build_dataloader(
-        dataset, batch_size=cfg.batch_size,
+        dataset, batch_size=cfg.batch_size // jax.process_count(),
         num_workers=cfg.data.get("workers_per_gpu", 4),
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
         shuffle=True, seed=args.seed, max_gt=cfg.get("max_gt", 64))
     logging.info("dataset: %d samples, %d iters/epoch", len(dataset), len(loader))
 

@@ -103,3 +103,27 @@ def make_train_step(model,
         return new_state, metrics
 
     return train_step
+
+
+def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
+    """Wrap a train step to run ``num_steps`` iterations per host dispatch
+    via ``lax.scan`` over a stacked batch (leading dim = num_steps).
+
+    Amortizes per-dispatch host overhead — measured on the axon-tunneled
+    v5e, a single dispatched r50 step costs ~26 s while the same step inside
+    a device-side loop costs 2.2 s. Returns
+    ``multi_step(state, stacked_batch, rng) -> (state, stacked_metrics)``.
+    """
+
+    def multi_step(state, stacked_batch, rng):
+        keys = jax.random.split(rng, num_steps)
+
+        def body(st, inp):
+            batch, key = inp
+            st, metrics = train_step(st, batch, key)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (stacked_batch, keys))
+        return state, metrics  # metrics leaves have leading dim num_steps
+
+    return multi_step

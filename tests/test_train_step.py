@@ -147,3 +147,37 @@ def test_data_parallel_step_on_mesh(model_and_state):
     a = np.asarray(new_state.params["head"]["init_query_bbox"])
     b = np.asarray(new_state_local.params["head"]["init_query_bbox"])
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_multi_step(model_and_state):
+    """K steps per dispatch via lax.scan over a stacked batch must match K
+    sequential single-step dispatches."""
+    from sparsebev_tpu.train import make_multi_step, make_train_step
+    model, state = model_and_state
+    rng = np.random.RandomState(7)
+    k = 3
+    batches = [_batch(rng, b=2) for _ in range(k)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+    step_fn = make_train_step(model, num_classes=10, code_weights=CODE_WEIGHTS,
+                              pc_range=PC_RANGE, num_query=NUM_QUERY,
+                              query_denoising=False)
+    multi = jax.jit(make_multi_step(step_fn, k))
+    st_multi, metrics = multi(state, stacked, jax.random.PRNGKey(0))
+    assert metrics["loss"].shape == (k,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+    # sequential reference with the same per-step keys
+    keys = jax.random.split(jax.random.PRNGKey(0), k)
+    st_seq = state
+    seq_losses = []
+    step_jit = jax.jit(step_fn)
+    for i in range(k):
+        st_seq, m = step_jit(st_seq, batches[i], keys[i])
+        seq_losses.append(float(m["loss"]))
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_multi.params["head"]["init_query_bbox"]),
+        np.asarray(st_seq.params["head"]["init_query_bbox"]),
+        rtol=1e-4, atol=1e-5)

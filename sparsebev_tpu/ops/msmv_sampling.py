@@ -14,18 +14,19 @@ Semantics contract (mirrors the CUDA kernel + PyTorch fallback at
 - Output: ``[B, Q, P, C]`` = sum_l w_l * bilinear(feat_l, x, y) with
   zero padding outside the image (per-tap border guard).
 
-Two implementations:
+Implementations (all jit/vmap-safe, static shapes):
 
 - :func:`msmv_sampling_reference` — direct per-level formulation; the
   readable oracle (analog of ``msmv_sampling_pytorch``).
-- :func:`msmv_sampling` — production path: all L levels and 4 bilinear taps
-  are folded into ONE flat XLA gather over a concatenated feature buffer,
-  so HBM is touched once per tap with C-contiguous (128-byte-aligned for
-  C>=64 bf16) vector loads. Gradients flow through the bilinear weights via
-  autodiff (the scatter-add backward XLA derives matches the CUDA col2im
-  ``atomicAdd`` backward, msmv_sampling_backward.cu:29-105).
-
-Both are jit/vmap/grad-safe with static shapes.
+- :func:`msmv_sampling` — production path. Forward: per-level PAIR gathers
+  (one ``lax.gather`` index fetches both x-adjacent bilinear taps as a
+  (1, 2, C) slice — XLA's TPU gather cost is per-index, so pairing is
+  ~1.5x). Backward: a custom VJP routes gradients through the single-tap
+  formulation whose single-row scatter-adds XLA handles 16x faster than
+  pair-slice scatters; this mirrors the CUDA col2im ``atomicAdd`` backward
+  (msmv_sampling_backward.cu:29-105).
+- ``set_sampling_impl("hybrid")`` — experimental inference-only MXU one-hot
+  kernel for small levels (see ``msmv_pallas.py``).
 """
 
 from __future__ import annotations

@@ -12,6 +12,7 @@ import os
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import numpy as np
 
 from ..parallel import make_mesh, replicate, shard_batch
 from .hooks import Hook, IterTimerHook
@@ -27,8 +28,19 @@ class Runner:
                  lr_schedule: Optional[Callable] = None,
                  hooks: Optional[List[Hook]] = None,
                  mesh=None,
-                 seed: int = 0):
-        self.train_step_fn = jax.jit(train_step_fn)
+                 seed: int = 0,
+                 steps_per_dispatch: int = 1):
+        """``steps_per_dispatch > 1`` runs K steps per host dispatch via
+        ``make_multi_step`` (lax.scan over K stacked batches) — amortizes
+        per-dispatch host overhead; hooks then fire once per dispatch with
+        the K metrics averaged."""
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
+        if self.steps_per_dispatch > 1:
+            from .step import make_multi_step
+            self.train_step_fn = jax.jit(
+                make_multi_step(train_step_fn, self.steps_per_dispatch))
+        else:
+            self.train_step_fn = jax.jit(train_step_fn)
         self.state = state
         self.loader = loader
         self.work_dir = work_dir
@@ -46,7 +58,7 @@ class Runner:
 
     @property
     def iters_per_epoch(self) -> int:
-        return len(self.loader)
+        return len(self.loader) // self.steps_per_dispatch
 
     @property
     def global_step(self) -> int:
@@ -82,17 +94,35 @@ class Runner:
             self._call_hooks("before_epoch")
             timer = next((h for h in self.hooks if isinstance(h, IterTimerHook)),
                          None)
-            for i, batch in enumerate(self.loader):
+            for i, batch in enumerate(self._iter_batches()):
                 self.iter = i
-                metas = batch.pop("img_metas", None)
                 batch = shard_batch(batch, self.mesh)
                 if timer is not None:
                     timer.before_iter(self)
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = self.train_step_fn(
                     self.state, batch, step_rng)
-                metrics = {k: float(v) for k, v in
-                           jax.device_get(metrics).items()}
+                # with K steps per dispatch, metric leaves are [K]: average
+                metrics = {k: float(np.mean(jax.device_get(v)))
+                           for k, v in metrics.items()}
                 self._call_hooks("after_iter", metrics)
             self._call_hooks("after_epoch")
         return self.state
+
+    def _iter_batches(self):
+        """Yield per-dispatch batches: plain batches for steps_per_dispatch=1,
+        K-stacked batches otherwise (dropping a trailing partial group)."""
+        k = self.steps_per_dispatch
+        if k == 1:
+            for batch in self.loader:
+                batch.pop("img_metas", None)
+                yield batch
+            return
+        group = []
+        for batch in self.loader:
+            batch.pop("img_metas", None)
+            group.append(batch)
+            if len(group) == k:
+                yield jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *group)
+                group = []

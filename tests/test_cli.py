@@ -69,3 +69,21 @@ def test_val_cli_random_init(synth_ann):
     ])
     assert out.returncode == 0, out.stderr[-3000:]
     assert "NDS" in out.stdout + out.stderr
+
+
+def test_train_cli_multi_dispatch(synth_ann, tmp_path):
+    """steps_per_dispatch=2: two train steps per jitted dispatch."""
+    work = str(tmp_path / "workk")
+    out = _run([
+        sys.executable, "tools/train.py",
+        "--config", "configs/smoke_synthetic.py",
+        "--work-dir", work, "--platform", "cpu",
+        "--override", f"data.train.ann_file={synth_ann}",
+        "steps_per_dispatch=2",
+    ])
+    assert out.returncode == 0, out.stderr[-3000:]
+    log = out.stdout + out.stderr
+    assert "training done" in log
+    import re as _re
+    m = _re.search(r"training done at step (\d+)", log)
+    assert m and int(m.group(1)) == 2  # 2 batches -> 1 dispatch of 2 steps

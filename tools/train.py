@@ -144,7 +144,9 @@ def main():
 
     runner = Runner(train_step, state, loader, work_dir,
                     total_epochs=cfg.total_epochs, lr_schedule=schedule,
-                    hooks=hooks, mesh=make_mesh_for_batch(cfg.batch_size), seed=args.seed)
+                    hooks=hooks, mesh=make_mesh_for_batch(cfg.batch_size),
+                    seed=args.seed,
+                    steps_per_dispatch=cfg.get("steps_per_dispatch", 1))
 
     resume_from = cfg.get("resume_from")
     if resume_from == "auto":

@@ -25,13 +25,17 @@ Mosaic lowering lessons baked in (v5e, 2026-08):
   in-kernel reads are already sublane-major [QB, 8];
 - dynamic LANE offsets relayout; dynamic SUBLANE offsets are cheap.
 
-STATUS (v5e, 2026-08): correct (oracle-tested) but NOT yet faster than the
-XLA pair-gather — measured ~5-8 ms/level vs the theoretical ~0.3-2 ms, with
-a stubborn per-block overhead that profiling attributes to VPU relayouts
-around the one-hot builds (lane<->sublane moves cost ~us each in Mosaic).
-Kept as the ``set_sampling_impl("hybrid")`` opt-in for further kernel work;
-the production default remains ``"xla"``. Forward-only (inference); training
-uses the XLA formulation throughout.
+STATUS (v5e, 2026-08): correct (oracle-tested) but NOT faster than the XLA
+pair-gather — ~4-7 ms/level vs the ~0.3-2 ms FLOP estimate. Ablations
+(in-kernel vs XLA-prebuilt one-hot matrices, per-block vs per-slice grids,
+packed sublane-major scalars) all land on the same floor: the auxiliary
+matmuls are SKINNY (contraction dims 48-192, output tiles of 64 lanes), so
+the MXU runs at ~10-20% utilization and the decomposition is
+utilization-bound, not overhead-bound. Candidate follow-ups: batch multiple
+slices into one fat matmul (block-diagonal A), int8 one-hots, or fusing the
+expand/reduce one-hots into the main contraction. Kept as the
+``set_sampling_impl("hybrid")`` opt-in; the production default remains
+``"xla"``. Forward-only (inference); training uses the XLA formulation.
 """
 
 from __future__ import annotations
@@ -47,41 +51,36 @@ from jax.experimental.pallas import tpu as pltpu
 _NCHAN = 8
 
 
-def _onehot_sample_kernel(vec_ref, feat_ref, out_ref,
+def _onehot_sample_kernel(a_ref, xsel_ref, feat_ref, out_ref,
                           *, nh: int, w: int, c: int, qb: int, nq: int):
     """One grid step per SLICE; query blocks loop inside the kernel.
-    vec: [1, K, 8] f32 packed per-query scalars; feat: [1, NH, W*C];
-    out: [1, K, C].
+
+    The one-hot matrices are PREBUILT by XLA outside the kernel (building
+    them in-kernel hit VPU relayout floors): a: [1, K, NH] bf16 row one-hot
+    with y-weights folded in; xsel: [1, K, W] bf16 x-pair one-hot;
+    feat: [1, NH, W*C] bf16; out: [1, K, C] f32. The kernel is pure MXU:
+    g = a @ feat; expand xsel to lanes via E; reduce W-groups via R.
     """
     feat = feat_ref[0]
 
-    # fixed binary matrices (built once per step, hoisted by Mosaic):
-    # reduction R[i, j] = (i mod C == j) and expansion E[w, w*C + j] = 1
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0)
-    r_j = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
-    reduce_mat = (jax.lax.rem(r_i, c) == r_j).astype(jnp.bfloat16)
+    # fixed binary matrices: expansion E[w, w*C + j] = (j // C == w) and
+    # reduction R[i, j] = (i mod C == j)
     e_w = jax.lax.broadcasted_iota(jnp.int32, (w, w * c), 0)
     e_l = jax.lax.broadcasted_iota(jnp.int32, (w, w * c), 1) // c
     expand_mat = (e_w == e_l).astype(jnp.bfloat16)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (qb, nh), 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (qb, w), 1)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 0)
+    r_j = jax.lax.broadcasted_iota(jnp.int32, (w * c, c), 1)
+    reduce_mat = (jax.lax.rem(r_i, c) == r_j).astype(jnp.bfloat16)
 
     def body(qi, _):
-        vec = vec_ref[0, pl.ds(qi * qb, qb), :]           # [QB, 8] f32
-        r0 = vec[:, 0:1].astype(jnp.int32)                # [QB, 1]
-        r1 = vec[:, 1:2].astype(jnp.int32)
-        a = ((row_ids == r0).astype(jnp.float32) * vec[:, 2:3]
-             + (row_ids == r1).astype(jnp.float32) * vec[:, 3:4])
-        g = jnp.dot(a.astype(jnp.bfloat16), feat,
-                    preferred_element_type=jnp.float32)   # [QB, W*C]
-        x0 = vec[:, 4:5].astype(jnp.int32)
-        xsel = ((col_ids == x0).astype(jnp.float32) * vec[:, 5:6]
-                + (col_ids == x0 + 1).astype(jnp.float32) * vec[:, 6:7])
-        xsel_full = jnp.dot(xsel.astype(jnp.bfloat16), expand_mat,
-                            preferred_element_type=jnp.float32)  # [QB, W*C]
+        qs = pl.ds(qi * qb, qb)
+        a = a_ref[0, qs, :]                               # [QB, NH] bf16
+        g = jnp.dot(a, feat, preferred_element_type=jnp.float32)  # [QB, W*C]
+        xsel_full = jnp.dot(xsel_ref[0, qs, :], expand_mat,
+                            preferred_element_type=jnp.float32)   # [QB, W*C]
         gx = (g * xsel_full).astype(jnp.bfloat16)
-        out_ref[0, pl.ds(qi * qb, qb), :] = jnp.dot(
-            gx, reduce_mat, preferred_element_type=jnp.float32)
+        out_ref[0, qs, :] = jnp.dot(gx, reduce_mat,
+                                    preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, nq, body, 0)
@@ -112,23 +111,30 @@ def onehot_sample_level(feat_table: jnp.ndarray,
     k = rows0.shape[1]
     qb = query_block
     k_pad = -(-k // qb) * qb
-
-    # pack the 7 per-query scalars into one [S, K_pad, 8] f32 array (row
-    # indices are exact in f32 below 2^24)
-    vec = jnp.stack([
-        rows0.astype(jnp.float32), rows1.astype(jnp.float32),
-        wy0, wy1, x0.astype(jnp.float32), wx0, wx1,
-        jnp.zeros_like(wy0)], axis=-1)
-    if k_pad != k:
-        vec = jnp.pad(vec, ((0, 0), (0, k_pad - k), (0, 0)))
     nq = k_pad // qb
+
+    # build the one-hot matrices with XLA (vectorized compares — cheap; the
+    # in-kernel build hit VPU relayout floors)
+    row_ids = jnp.arange(nh, dtype=jnp.int32)
+    a_mat = ((rows0[..., None] == row_ids) * wy0[..., None]
+             + (rows1[..., None] == row_ids) * wy1[..., None])  # [S, K, NH]
+    col_ids = jnp.arange(w, dtype=jnp.int32)
+    xsel = ((x0[..., None] == col_ids) * wx0[..., None]
+            + ((x0[..., None] + 1) == col_ids) * wx1[..., None])  # [S, K, W]
+    a_mat = a_mat.astype(jnp.bfloat16)
+    xsel = xsel.astype(jnp.bfloat16)
+    if k_pad != k:
+        a_mat = jnp.pad(a_mat, ((0, 0), (0, k_pad - k), (0, 0)))
+        xsel = jnp.pad(xsel, ((0, 0), (0, k_pad - k), (0, 0)))
 
     kernel = functools.partial(_onehot_sample_kernel, nh=nh, w=w, c=c, qb=qb,
                                nq=nq)
     out = pl.pallas_call(
         kernel,
         grid=(s,),
-        in_specs=[pl.BlockSpec((1, k_pad, _NCHAN), lambda si: (si, 0, 0),
+        in_specs=[pl.BlockSpec((1, k_pad, nh), lambda si: (si, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, k_pad, w), lambda si: (si, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, nh, wc), lambda si: (si, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -138,5 +144,5 @@ def onehot_sample_level(feat_table: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vec, feat_table)
+    )(a_mat, xsel, feat_table)
     return out[:, :k]

@@ -96,25 +96,28 @@ class NuScenesDetectionEvaluator:
         if npos == 0 or len(preds) == 0:
             return None
 
-        taken = set()
         tp, fp = [], []
         errs = {"trans": [], "scale": [], "orient": [], "vel": [], "attr": []}
         period = np.pi if cname in PERIOD_PI else 2 * np.pi
+        free = {}  # (token) -> bool mask of unmatched gts (vectorized scan)
 
         for token, score, box in preds:
             gts = self._gt.get((token, cname), np.zeros((0, 9)))
-            best, best_d = None, dist_th
-            for gi in range(len(gts)):
-                if (token, gi) in taken:
-                    continue
-                d = np.linalg.norm(box[:2] - gts[gi, :2])
-                if d < best_d:
-                    best, best_d = gi, d
+            if token not in free:
+                free[token] = np.ones(len(gts), bool)
+            mask = free[token]
+            best = None
+            if mask.any():
+                d = np.linalg.norm(gts[:, :2] - box[:2], axis=1)
+                d = np.where(mask, d, np.inf)
+                gi = int(np.argmin(d))
+                if d[gi] < dist_th:
+                    best = gi
             if best is None:
                 tp.append(0)
                 fp.append(1)
                 continue
-            taken.add((token, best))
+            free[token][best] = False
             tp.append(1)
             fp.append(0)
             g = gts[best]

@@ -36,21 +36,25 @@ class SparseBEVSelfAttention(nn.Module):
     num_heads: int = 8
     dropout: float = 0.1
     pc_range: Sequence[float] = ()
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query_bbox, query_feat, pre_attn_mask,
                  deterministic: bool = True):
         b, q, _ = query_bbox.shape
-        # pairwise BEV center distances; no gradient to the boxes (:236-248)
+        # pairwise BEV center distances; no gradient to the boxes (:236-248).
+        # Geometry stays fp32 even under a bf16 compute dtype.
         centers = decode_bbox(jax.lax.stop_gradient(query_bbox), self.pc_range)[..., :2]
+        centers = centers.astype(jnp.float32)
         dist = jnp.linalg.norm(centers[:, :, None, :] - centers[:, None, :, :], axis=-1)
         dist = -dist  # [B, Q, Q]
 
-        tau = Linear(self.num_heads,
+        tau = Linear(self.num_heads, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros,
                      bias_init=lambda key, shape, dtype=jnp.float32:
                          jax.random.uniform(key, shape, dtype, 0.0, 2.0),
                      name="gen_tau")(query_feat)  # [B, Q, H]
+        tau = tau.astype(jnp.float32)
 
         dump_save("sasa_tau", tau)  # viz_sample_points consumes these
         tau = jnp.transpose(tau, (0, 2, 1))  # [B, H, Q]
@@ -60,7 +64,7 @@ class SparseBEVSelfAttention(nn.Module):
         attn_mask = attn_mask.reshape(b * self.num_heads, q, q)
 
         return MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
-                                  name="attention")(
+                                  dtype=self.dtype, name="attention")(
             query_feat, attn_mask=attn_mask, deterministic=deterministic)
 
 
@@ -75,6 +79,7 @@ class SparseBEVSampling(nn.Module):
     num_levels: int = 4
     pc_range: Sequence[float] = ()
     num_views: int = 6
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query_bbox, query_feat, mlvl_feats, lidar2img,
@@ -82,13 +87,14 @@ class SparseBEVSampling(nn.Module):
         b, q = query_bbox.shape[:2]
         g, p, t = self.num_groups, self.num_points, self.num_frames
 
-        # offsets: zero-init weight, bias ~ U(-0.5, 0.5) (:265-268)
-        offset = Linear(g * p * 3,
+        # offsets: zero-init weight, bias ~ U(-0.5, 0.5) (:265-268);
+        # the offsets feed fp32 geometry downstream
+        offset = Linear(g * p * 3, dtype=self.dtype,
                         kernel_init=nn.initializers.zeros,
                         bias_init=lambda key, shape, dtype=jnp.float32:
                             jax.random.uniform(key, shape, dtype, -0.5, 0.5),
                         name="sampling_offset")(query_feat)
-        offset = offset.reshape(b, q, g * p, 3)
+        offset = offset.reshape(b, q, g * p, 3).astype(jnp.float32)
 
         pts = make_sample_points(query_bbox, offset, self.pc_range)  # [B,Q,GP,3]
         pts = pts.reshape(b, q, 1, g, p, 3)
@@ -100,9 +106,10 @@ class SparseBEVSampling(nn.Module):
         dist = dist[:, :, :, None, None, :]
         pts = jnp.concatenate([pts[..., 0:2] - dist, pts[..., 2:3]], axis=-1)
 
-        # per-level weights, shared across frames (:298-300)
-        sw = Linear(g * p * self.num_levels, name="scale_weights")(query_feat)
-        sw = sw.reshape(b, q, g, 1, p, self.num_levels)
+        # per-level weights, shared across frames (:298-300); softmax in fp32
+        sw = Linear(g * p * self.num_levels, dtype=self.dtype,
+                    name="scale_weights")(query_feat)
+        sw = sw.reshape(b, q, g, 1, p, self.num_levels).astype(jnp.float32)
         sw = jax.nn.softmax(sw, axis=-1)
         sw = jnp.broadcast_to(sw, (b, q, g, t, p, self.num_levels))
 
@@ -126,6 +133,7 @@ class AdaptiveMixing(nn.Module):
     out_points: int = 128
     query_dim: Optional[int] = None
     out_dim: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, query):
@@ -135,19 +143,20 @@ class AdaptiveMixing(nn.Module):
         eff_out = od // self.n_groups
         m_params = eff_in * eff_out
         s_params = self.in_points * self.out_points
+        cdt = self.dtype or x.dtype
 
         b, q, g, p, c = x.shape
         assert g == self.n_groups and p == self.in_points and c == eff_in
 
         params = Linear(self.n_groups * (m_params + s_params),
-                        kernel_init=nn.initializers.zeros,
+                        kernel_init=nn.initializers.zeros, dtype=self.dtype,
                         name="parameter_generator")(query)
         params = params.reshape(b * q, g, m_params + s_params)
         m, s = params[..., :m_params], params[..., m_params:]
         m = m.reshape(b * q, g, eff_in, eff_out)
         s = s.reshape(b * q, g, self.out_points, self.in_points)
 
-        out = x.reshape(b * q, g, p, c)
+        out = x.reshape(b * q, g, p, c).astype(cdt)
         # adaptive channel mixing: [P, Cin] @ [Cin, Cout]
         out = jnp.einsum("bgpc,bgcd->bgpd", out, m)
         out = nn.relu(layer_norm_nd(out, 2))
@@ -156,7 +165,7 @@ class AdaptiveMixing(nn.Module):
         out = nn.relu(layer_norm_nd(out, 2))
 
         out = out.reshape(b, q, -1)
-        out = Linear(qd, name="out_proj")(out)
+        out = Linear(qd, dtype=self.dtype, name="out_proj")(out)
         return query + out
 
 
@@ -176,38 +185,45 @@ class SparseBEVTransformerDecoderLayer(nn.Module):
     num_groups: int = 4
     mixer_out_points: int = 128
     num_views: int = 6
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         c = self.embed_dims
+        dt = self.dtype
         self.self_attn = SparseBEVSelfAttention(
-            c, num_heads=8, dropout=0.1, pc_range=self.pc_range, name="self_attn")
+            c, num_heads=8, dropout=0.1, pc_range=self.pc_range, dtype=dt,
+            name="self_attn")
         self.sampling = SparseBEVSampling(
             c, num_frames=self.num_frames, num_groups=self.num_groups,
             num_points=self.num_points, num_levels=self.num_levels,
-            pc_range=self.pc_range, num_views=self.num_views, name="sampling")
+            pc_range=self.pc_range, num_views=self.num_views, dtype=dt,
+            name="sampling")
         self.mixing = AdaptiveMixing(
             in_dim=c, in_points=self.num_points * self.num_frames,
             n_groups=self.num_groups, out_points=self.mixer_out_points,
-            name="mixing")
-        self.ffn = FFN(c, feedforward_channels=512, ffn_drop=0.1, name="ffn")
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
-        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+            dtype=dt, name="mixing")
+        self.ffn = FFN(c, feedforward_channels=512, ffn_drop=0.1, dtype=dt,
+                       name="ffn")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm3")
         # position encoder: (Linear, LN, ReLU) x2 (:113-120)
-        self.pos_fc1 = Linear(c, name="pos_fc1")
-        self.pos_ln1 = nn.LayerNorm(epsilon=1e-5, name="pos_ln1")
-        self.pos_fc2 = Linear(c, name="pos_fc2")
-        self.pos_ln2 = nn.LayerNorm(epsilon=1e-5, name="pos_ln2")
+        self.pos_fc1 = Linear(c, dtype=dt, name="pos_fc1")
+        self.pos_ln1 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="pos_ln1")
+        self.pos_fc2 = Linear(c, dtype=dt, name="pos_fc2")
+        self.pos_ln2 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="pos_ln2")
         # branches (:131-144); focal-prior bias on the classifier (:152-153)
-        self.cls_fcs = [Linear(c, name=f"cls_fc{i}") for i in range(self.num_cls_fcs)]
-        self.cls_lns = [nn.LayerNorm(epsilon=1e-5, name=f"cls_ln{i}")
+        self.cls_fcs = [Linear(c, dtype=dt, name=f"cls_fc{i}")
+                        for i in range(self.num_cls_fcs)]
+        self.cls_lns = [nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"cls_ln{i}")
                         for i in range(self.num_cls_fcs)]
         self.cls_out = Linear(
-            self.num_classes,
+            self.num_classes, dtype=dt,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="cls_out")
-        self.reg_fcs = [Linear(c, name=f"reg_fc{i}") for i in range(self.num_reg_fcs)]
-        self.reg_out = Linear(self.code_size, name="reg_out")
+        self.reg_fcs = [Linear(c, dtype=dt, name=f"reg_fc{i}")
+                        for i in range(self.num_reg_fcs)]
+        self.reg_out = Linear(self.code_size, dtype=dt, name="reg_out")
 
     def position_encoder(self, xyz):
         x = nn.relu(self.pos_ln1(self.pos_fc1(xyz)))
@@ -234,12 +250,13 @@ class SparseBEVTransformerDecoderLayer(nn.Module):
         cls_feat = query_feat
         for fc, ln in zip(self.cls_fcs, self.cls_lns):
             cls_feat = nn.relu(ln(fc(cls_feat)))
-        cls_score = self.cls_out(cls_feat)
+        cls_score = self.cls_out(cls_feat).astype(jnp.float32)
 
         reg_feat = query_feat
         for fc in self.reg_fcs:
             reg_feat = nn.relu(fc(reg_feat))
-        bbox_pred = self.reg_out(reg_feat)
+        # box refinement (inverse-sigmoid update) is fp32 geometry
+        bbox_pred = self.reg_out(reg_feat).astype(jnp.float32)
         bbox_pred = self.refine_bbox(query_bbox, bbox_pred)
 
         # absolute velocity: divide by dt of the first history frame (:179-183)
@@ -268,6 +285,7 @@ class SparseBEVTransformer(nn.Module):
     num_groups: int = 4
     mixer_out_points: int = 128
     num_views: int = 6
+    dtype: Optional[jnp.dtype] = None
     with_cp: bool = True  # remat each decoder layer in training (the
     # reference checkpoints SASA/sampling/mixing,
     # models/sparsebev_transformer.py:230-234,313-317,383-387)
@@ -284,20 +302,13 @@ class SparseBEVTransformer(nn.Module):
         """
         n = self.num_views
         g = self.num_groups
-        # regroup [B, TN, H, W, C] -> [B*T*G, N, H, W, C/G] (reference :72-85,
-        # channel-last throughout on TPU; channels split group-major)
-        grouped = []
-        for feat in mlvl_feats:
-            b, tn, h, w, c = feat.shape
-            t, cg = tn // n, c // g
-            f = feat.reshape(b, t, n, h, w, g, cg)
-            f = jnp.transpose(f, (0, 1, 5, 2, 3, 4, 6))  # [B, T, G, N, H, W, Cg]
-            grouped.append(f.reshape(b * t * g, n, h, w, cg))
-        # flatten+concat the pyramid ONCE; every layer's sampling gather
-        # reuses the packed buffer (a per-layer concat costs a full copy of
-        # the features — ~5 ms/layer at r50 scale on v5e)
-        from ..ops.msmv_sampling import pack_mlvl_feats
-        grouped = pack_mlvl_feats(grouped)
+        # pack [B, TN, H, W, C] pyramids ONCE into grouped y-fold gather
+        # tables (reference regroups to [B*T*G, N, H, W, C/G], :72-85; here
+        # the group split folds into the table build as a local permute —
+        # see pack_mlvl_feats_grouped). Every layer's sampling gather reuses
+        # the packed buffer (a per-layer pack costs a full feature copy).
+        from ..ops.msmv_sampling import pack_mlvl_feats_grouped
+        grouped = pack_mlvl_feats_grouped(mlvl_feats, n, g)
 
         layer_cls = SparseBEVTransformerDecoderLayer
         if self.with_cp and not deterministic:
@@ -310,7 +321,7 @@ class SparseBEVTransformer(nn.Module):
             self.embed_dims, self.num_frames, self.num_points, self.num_levels,
             self.num_classes, self.code_size, pc_range=self.pc_range,
             num_groups=g, mixer_out_points=self.mixer_out_points,
-            num_views=n, name="decoder_layer")
+            num_views=n, dtype=self.dtype, name="decoder_layer")
 
         cls_scores, bbox_preds = [], []
         for layer_idx in range(self.num_layers):

@@ -60,7 +60,10 @@ class SparseBEV(nn.Module):
             self.neck = build(neck_cfg, NECKS)
         else:
             self.neck = None
-        self.head = build(dict(self.pts_bbox_head), HEADS)
+        head_cfg = dict(self.pts_bbox_head)
+        if self.compute_dtype != jnp.float32:
+            head_cfg.setdefault("compute_dtype", self.compute_dtype)
+        self.head = build(head_cfg, HEADS)
 
     def preprocess(self, img: jnp.ndarray, train: bool) -> jnp.ndarray:
         """GPU-side color aug + BGR->RGB + normalize (sparsebev.py:72-95).
@@ -100,7 +103,10 @@ class SparseBEV(nn.Module):
             feats = self.backbone(img)
         if self.neck is not None:
             feats = self.neck(feats)
-        return [f.astype(jnp.float32) for f in feats]
+        # keep features in the compute dtype: the decoder's sampling gathers
+        # accumulate in fp32, and the reference likewise feeds fp16 features
+        # to its head (sparsebev.py:297-313); fp32 configs are unchanged
+        return [f.astype(self.compute_dtype) for f in feats]
 
     def extract_feat(self, img: jnp.ndarray, train: bool = False):
         """img: [B, TN, H, W, 3] preprocessed. Returns list of

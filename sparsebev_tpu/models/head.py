@@ -61,6 +61,9 @@ class SparseBEVHead(nn.Module):
     num_groups: int = 4
     mixer_out_points: int = 128
     num_views: int = 6
+    # decoder compute dtype (params stay fp32; geometry/softmax stay fp32) —
+    # mirrors the reference's fp16 autocast over the head (sparsebev.py:313)
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         c = self.in_channels
@@ -77,7 +80,7 @@ class SparseBEVHead(nn.Module):
             num_classes=self.num_classes, code_size=self.code_size,
             pc_range=self.pc_range, num_groups=self.num_groups,
             mixer_out_points=self.mixer_out_points, num_views=self.num_views,
-            name="transformer")
+            dtype=self.compute_dtype, name="transformer")
 
     def __call__(self, mlvl_feats, lidar2img, time_diff, image_h, image_w,
                  dn_inputs: Optional[dict] = None, deterministic: bool = True):
@@ -100,6 +103,8 @@ class SparseBEVHead(nn.Module):
         query_feat = jnp.concatenate([no_obj, jnp.zeros((1,), no_obj.dtype)])
         query_feat = jnp.broadcast_to(query_feat[None, None],
                                       (b, self.num_query, c))
+        if self.compute_dtype is not None:
+            query_feat = query_feat.astype(self.compute_dtype)
 
         attn_mask = None
         dn_pad = 0
@@ -114,7 +119,8 @@ class SparseBEVHead(nn.Module):
             if "dn_mask" in dn_inputs:  # zero features on padded slots (head:182-183)
                 dn_feat = jnp.where(dn_inputs["dn_mask"][..., None], dn_feat, 0.0)
             query_bbox = jnp.concatenate([dn_bbox, query_bbox], axis=1)
-            query_feat = jnp.concatenate([dn_feat, query_feat], axis=1)
+            query_feat = jnp.concatenate(
+                [dn_feat.astype(query_feat.dtype), query_feat], axis=1)
 
         cls_scores, bbox_preds = self.transformer(
             query_bbox, query_feat, mlvl_feats, attn_mask,

@@ -68,11 +68,13 @@ class LayerNorm(nn.Module):
 
 def layer_norm_nd(x: jnp.ndarray, num_dims: int, eps: float = 1e-5) -> jnp.ndarray:
     """F.layer_norm over the trailing ``num_dims`` dims with NO learned affine
-    (used by AdaptiveMixing, models/sparsebev_transformer.py:368,373)."""
+    (used by AdaptiveMixing, models/sparsebev_transformer.py:368,373).
+    Statistics are computed in fp32 regardless of input dtype."""
     axes = tuple(range(x.ndim - num_dims, x.ndim))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.var(x32, axis=axes, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class MultiheadAttention(nn.Module):
@@ -89,6 +91,7 @@ class MultiheadAttention(nn.Module):
     embed_dims: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query, key=None, value=None, attn_mask=None,
@@ -101,33 +104,36 @@ class MultiheadAttention(nn.Module):
         identity = query if identity is None else identity
         b, q_len, _ = query.shape
         k_len = key.shape[1]
+        cdt = self.dtype or query.dtype
 
         in_proj_w = self.param("in_proj_weight", torch_linear_kernel_init, (c, 3 * c))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,))
-        wq, wk, wv = jnp.split(in_proj_w, 3, axis=1)
-        bq, bk, bv = jnp.split(in_proj_b, 3)
+        wq, wk, wv = jnp.split(in_proj_w.astype(cdt), 3, axis=1)
+        bq, bk, bv = jnp.split(in_proj_b.astype(cdt), 3)
 
-        q = query @ wq + bq
-        k = key @ wk + bk
-        v = value @ wv + bv
+        q = query.astype(cdt) @ wq + bq
+        k = key.astype(cdt) @ wk + bk
+        v = value.astype(cdt) @ wv + bv
 
         q = q.reshape(b, q_len, h, hd).transpose(0, 2, 1, 3)  # [B, H, Q, hd]
         k = k.reshape(b, k_len, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, k_len, h, hd).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+        # logits in fp32 (additive masks carry -inf; softmax stays exact)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
         if attn_mask is not None:
             if attn_mask.dtype == jnp.bool_:
                 bias = jnp.where(attn_mask, -jnp.inf, 0.0)
             else:
-                bias = attn_mask
+                bias = attn_mask.astype(jnp.float32)
             logits = logits + bias.reshape(b, h, q_len, k_len)
 
         attn = jax.nn.softmax(logits, axis=-1)
         attn = nn.Dropout(self.dropout, name="attn_drop")(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(cdt), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, q_len, c)
-        out = Linear(c, name="out_proj")(out)
+        out = Linear(c, dtype=self.dtype, name="out_proj")(out)
         # mmcv wrapper: proj_drop + residual
         out = nn.Dropout(self.dropout, name="proj_drop")(out, deterministic=deterministic)
         return identity + out
@@ -139,13 +145,14 @@ class FFN(nn.Module):
     embed_dims: int
     feedforward_channels: int = 512
     ffn_drop: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = Linear(self.feedforward_channels, name="fc1")(x)
+        y = Linear(self.feedforward_channels, dtype=self.dtype, name="fc1")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.ffn_drop, name="drop1")(y, deterministic=deterministic)
-        y = Linear(self.embed_dims, name="fc2")(y)
+        y = Linear(self.embed_dims, dtype=self.dtype, name="fc2")(y)
         y = nn.Dropout(self.ffn_drop, name="drop2")(y, deterministic=deterministic)
         return x + y
 

@@ -18,15 +18,21 @@ Implementations (all jit/vmap-safe, static shapes):
 
 - :func:`msmv_sampling_reference` — direct per-level formulation; the
   readable oracle (analog of ``msmv_sampling_pytorch``).
-- :func:`msmv_sampling` — production path. Forward: per-level PAIR gathers
-  (one ``lax.gather`` index fetches both x-adjacent bilinear taps as a
-  (1, 2, C) slice — XLA's TPU gather cost is per-index, so pairing is
-  ~1.5x). Backward: a custom VJP routes gradients through the single-tap
-  formulation whose single-row scatter-adds XLA handles 16x faster than
-  pair-slice scatters; this mirrors the CUDA col2im ``atomicAdd`` backward
+- :func:`msmv_sampling` — production path. Forward: per-level Y-FOLD
+  gathers over y-interleaved row tables ``[B*N*H, W+1, 2C]`` where row y
+  holds ``feat[y] ‖ feat[y+1]`` on the channel axis — ONE ``lax.gather``
+  index fetches all four bilinear taps as a (1, 2, 2C) slice. XLA's TPU
+  gather cost is per-index and flat in payload size (measured on v5e:
+  ~12-14 ns/idx for both (1,2,C) and (1,2,2C) slices), so folding y halves
+  the sampling time vs the round-1 pair-gather: 11.9 -> 6.4 ms/layer fp32
+  (10.2 -> 5.5 bf16) at r50 scale. Backward: a custom VJP routes gradients
+  through a half-row formulation (2 single-row taps per point instead of 4)
+  whose single-row scatter-adds are the fast scatter shape on TPU; this
+  mirrors the CUDA col2im ``atomicAdd`` backward
   (msmv_sampling_backward.cu:29-105).
 - ``set_sampling_impl("hybrid")`` — experimental inference-only MXU one-hot
-  kernel for small levels (see ``msmv_pallas.py``).
+  kernel for small levels (see ``msmv_pallas.py``); superseded by the y-fold
+  gather (4-7 ms/level vs 5.5 ms for ALL levels) but kept as an opt-in.
 """
 
 from __future__ import annotations
@@ -37,12 +43,12 @@ import jax
 import jax.numpy as jnp
 
 
-# sampling implementation selector: "xla" (pair-gather everywhere; default,
+# sampling implementation selector: "xla" (y-fold gather everywhere; default,
 # differentiable) or "hybrid" (MXU one-hot Pallas kernel for small levels +
-# pair-gather for large ones; inference-only, ~2x faster on v5e).
+# y-fold gather for large ones; inference-only experiment).
 _SAMPLING_IMPL = "xla"
 # use the MXU path when a level's one-hot matmul work (N*H * W*C MACs per
-# point) undercuts ~2 gather indices/point at ~17ns each on the MXU
+# point) undercuts gather cost — see msmv_pallas.py STATUS before enabling
 _MXU_LEVEL_MAX_ELEMS = 2_200_000
 
 
@@ -58,36 +64,57 @@ def get_sampling_impl() -> str:
 
 @jax.tree_util.register_pytree_node_class
 class PackedFeatures:
-    """Per-level row tables ``[B*N*H_l, W_l + 1, C]`` (one zero column padded
-    on the right so an x0 = W-1 pair-slice reads a zero, never a neighbour).
+    """Per-level y-interleaved row tables ``[B*N*H_l, W_l + 1, 2C]``.
+
+    Row ``y`` of each image holds ``feat[y] ‖ feat[y+1]`` concatenated on the
+    channel axis (``feat[H]`` reads as zeros), plus one zero guard column on
+    the right so an x0 = W-1 pair-slice reads a zero, never a neighbour.
+    One ``lax.gather`` index then fetches all FOUR bilinear taps
+    ``(y0,x0) (y0,x1) (y1,x0) (y1,x1)`` as a (1, 2, 2C) slice. Gather cost
+    on TPU is per-index and flat in payload size (~12-14 ns/idx on v5e), so
+    this halves sampling time vs pair-gathers at 2x feature memory.
 
     Packing copies the features once, so the decoder packs ONCE per forward
-    and reuses the tables across its 6 weight-shared layers. The row-table
-    layout enables PAIR gathers — one ``lax.gather`` index fetches both
-    x-adjacent bilinear taps ``(y, x0), (y, x0+1)`` as a (1, 2, C) slice,
-    halving the index count (XLA's TPU gather cost is per-index: measured
-    ~14 ns/idx for single taps vs ~17 ns for pairs on v5e => ~1.5x).
+    and reuses the tables across its 6 weight-shared layers.
 
-    Registered as a pytree with STATIC metadata (batch/num_views/shapes stay
-    Python ints across jit boundaries).
+    Registered as a pytree with STATIC metadata (batch/num_views/shapes/
+    channel count stay Python ints across jit boundaries).
     """
 
-    def __init__(self, tables, batch, num_views, level_shapes, mxu_tables=()):
-        self.tables = tuple(tables)          # per level [B*N*H, W+1, C] or None
-        self.batch = batch
+    def __init__(self, tables, batch, num_views, level_shapes, channels,
+                 mxu_tables=(), num_groups=1):
+        self.tables = tuple(tables)      # per level [rows, W+1, 2C] or None
+        self.batch = batch               # slice count B' fed to the gather
         self.num_views = num_views
         self.level_shapes = tuple(level_shapes)
+        self.channels = channels         # C (tables carry 2C)
+        # row order: (bt, n, h, g) where a slice index s in [0, B') is
+        # (bt = s // G, g = s % G). G = 1 for generically packed lists;
+        # pack_mlvl_feats_grouped uses G = num_groups so the group split is
+        # a LOCAL (W <-> G) permute instead of a global feature transpose.
+        self.num_groups = num_groups
         # "hybrid" impl only: bf16 [B, N*H, W*C] tables for the MXU levels
         self.mxu_tables = tuple(mxu_tables)
 
     def tree_flatten(self):
         return ((self.tables, self.mxu_tables),
-                (self.batch, self.num_views, self.level_shapes))
+                (self.batch, self.num_views, self.level_shapes, self.channels,
+                 self.num_groups))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         tables, mxu_tables = children
-        return cls(tables, aux[0], aux[1], aux[2], mxu_tables)
+        return cls(tables, aux[0], aux[1], aux[2], aux[3], mxu_tables,
+                   num_groups=aux[4])
+
+    def row_index(self, slice_idx, view, row_y, height):
+        """Flat table row for (slice, view, y-row) under the row order above."""
+        g = self.num_groups
+        if g == 1:
+            return (slice_idx * self.num_views + view) * height + row_y
+        bt = slice_idx // g
+        gi = slice_idx % g
+        return ((bt * self.num_views + view) * height + row_y) * g + gi
 
 
 def pack_mlvl_feats(mlvl_feats: Sequence[jnp.ndarray]) -> PackedFeatures:
@@ -102,18 +129,46 @@ def pack_mlvl_feats(mlvl_feats: Sequence[jnp.ndarray]) -> PackedFeatures:
             tables.append(None)
         else:
             mxu.append(None)
-            t = feat.reshape(b * n * h, w, c)
-            t = jnp.pad(t, ((0, 0), (0, 1), (0, 0)))  # zero guard column
+            # y-interleave: row y carries [feat[y], feat[y+1]] (zeros at H)
+            f1 = jnp.concatenate(
+                [feat[:, :, 1:], jnp.zeros_like(feat[:, :, :1])], axis=2)
+            t = jnp.concatenate([feat, f1], axis=-1)   # [B, N, H, W, 2C]
+            t = t.reshape(b * n * h, w, 2 * c)
+            t = jnp.pad(t, ((0, 0), (0, 1), (0, 0)))   # zero guard column
             tables.append(t)
         shapes.append((h, w))
-    return PackedFeatures(tuple(tables), b, n, tuple(shapes), tuple(mxu))
+    return PackedFeatures(tuple(tables), b, n, tuple(shapes), c, tuple(mxu))
+
+
+def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
+                            num_views: int,
+                            num_groups: int) -> PackedFeatures:
+    """Pack raw per-frame pyramids [B, T*N, H, W, C] directly into grouped
+    y-fold tables, replacing the decoder's global [B,T,G,N,H,W,Cg] feature
+    transpose (a full extra copy of the pyramid — ~4 ms at r50 scale on
+    v5e) with a LOCAL (W <-> G) permute that XLA fuses into the table build.
+    Row order: (b, t, n, h, g) — see PackedFeatures.row_index."""
+    n, g = num_views, num_groups
+    b, tn = mlvl_feats[0].shape[0], mlvl_feats[0].shape[1]
+    t = tn // n
+    c = mlvl_feats[0].shape[-1]
+    cg = c // g
+    from .msmv_pack_pallas import pack_level
+    tables, shapes = [], []
+    for feat in mlvl_feats:
+        h, w = feat.shape[2], feat.shape[3]
+        t2 = pack_level(feat.reshape(b * t * n, h, w, c), g)
+        tables.append(t2.reshape(b * t * n * h * g, w + 1, 2 * cg))
+        shapes.append((h, w))
+    return PackedFeatures(tuple(tables), b * t * g, n, tuple(shapes), cg,
+                          num_groups=g)
 
 
 def _bilinear_taps(x_pix, y_pix, h, w):
     """Corner indices + weights for bilinear sampling with zero padding.
 
-    Returns (ix0, iy0, ix1, iy1, w00, w01, w10, w11, valid_*) where weights
-    already include the out-of-bounds zero masking per tap.
+    Returns (ix0, iy0, ix1, iy1, w00, w01, w10, w11) where weights already
+    include the out-of-bounds zero masking per tap.
     """
     x0 = jnp.floor(x_pix)
     y0 = jnp.floor(y_pix)
@@ -135,6 +190,46 @@ def _bilinear_taps(x_pix, y_pix, h, w):
     w10 = ly * hx * inb(ix0, iy1)  # (y1, x0)
     w11 = ly * lx * inb(ix1, iy1)  # (y1, x1)
     return (ix0, iy0, ix1, iy1), (w00, w01, w10, w11)
+
+
+def _separable_slot_weights(x_pix, y_pix, h, w):
+    """Slot indices + separable weights for the y-fold window gather.
+
+    The gather window is rows ``ry`` (carrying y-taps ``ry`` and ``ry+1`` on
+    channel halves) x columns ``[sx, sx+1]``. When the true ``ix0``/``iy0``
+    is -1 the window shifts up/left by one, so the x1/y1 weight moves to the
+    window's FIRST slot (the x0/y0 weight is already masked to 0 there).
+    Returns (sx, ry, (wxa, wxb), (wya, wyb)) with border masks folded in;
+    the four bilinear weights are the separable products wx*wy.
+    """
+    x0 = jnp.floor(x_pix)
+    y0 = jnp.floor(y_pix)
+    lx = x_pix - x0
+    ly = y_pix - y0
+
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    inx0 = (ix0 >= 0) & (ix0 <= w - 1)
+    inx1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
+    iny0 = (iy0 >= 0) & (iy0 <= h - 1)
+    iny1 = (iy0 + 1 >= 0) & (iy0 + 1 <= h - 1)
+
+    wx0 = (1.0 - lx) * inx0
+    wx1 = lx * inx1
+    wy0 = (1.0 - ly) * iny0
+    wy1 = ly * iny1
+
+    sh_x = ix0 < 0
+    sx = jnp.clip(ix0, 0, w - 1)  # x1 then lands in the zero guard column
+    wxa = jnp.where(sh_x, wx1, wx0)
+    wxb = jnp.where(sh_x, 0.0, wx1)
+
+    sh_y = iy0 < 0
+    ry = jnp.clip(iy0, 0, h - 1)  # row H-1's second half is already zeros
+    wya = jnp.where(sh_y, wy1, wy0)
+    wyb = jnp.where(sh_y, 0.0, wy1)
+    return sx, ry, (wxa, wxb), (wya, wyb)
 
 
 def msmv_sampling_reference(mlvl_feats: Sequence[jnp.ndarray],
@@ -169,67 +264,70 @@ def msmv_sampling_reference(mlvl_feats: Sequence[jnp.ndarray],
     return out
 
 
-def _msmv_singletap(packed: PackedFeatures,
-                    sampling_locations: jnp.ndarray,
-                    scale_weights: jnp.ndarray) -> jnp.ndarray:
-    """One-index-per-tap formulation over the padded row tables.
-
-    Slower FORWARD than the pair-gather (1.84M vs 0.92M indices at r50
-    scale), but its BACKWARD is the one XLA handles well: single-row
-    scatter-adds cost ~0.37 s/call vs ~3.5 s for pair-slice scatters
-    (measured on v5e) — so the custom VJP below routes gradients here.
-    """
-    num_levels = len(packed.level_shapes)
+def _flat_point_geometry(packed: PackedFeatures, sampling_locations):
+    """Shared per-point geometry: flat x/y in [0,1], view row base."""
     b, q, p, _ = sampling_locations.shape
     n = packed.num_views
-    c = packed.tables[0].shape[-1]
     k = b * q * p
-
     x = sampling_locations[..., 0].reshape(k)
     y = sampling_locations[..., 1].reshape(k)
     v = sampling_locations[..., 2].reshape(k)
     view = jnp.clip(jnp.round(v * (n - 1)).astype(jnp.int32), 0, n - 1)
-    batch_row = jnp.repeat(jnp.arange(b, dtype=jnp.int32), q * p)
+    batch_row = jnp.repeat(jnp.arange(b, dtype=jnp.int32), q * p)  # [K]
+    return x, y, view, batch_row, k
+
+
+def _msmv_halfrow(packed: PackedFeatures,
+                  sampling_locations: jnp.ndarray,
+                  scale_weights: jnp.ndarray) -> jnp.ndarray:
+    """Two-indices-per-point formulation over the y-fold tables.
+
+    Reads the two x slots of the window as separate (1, 1, 2C) row taps.
+    Slower FORWARD than the windowed gather (2x the indices), but its
+    BACKWARD is the one XLA handles well: single-row scatter-adds are ~16x
+    faster than multi-column slice scatters (measured on v5e), and folding
+    y into channels halves the scatter count vs a plain single-tap form —
+    so the custom VJP below routes gradients here.
+    """
+    num_levels = len(packed.level_shapes)
+    b, q, p, _ = sampling_locations.shape
+    n = packed.num_views
+    c = packed.channels
+    x, y, view, batch_row, k = _flat_point_geometry(packed, sampling_locations)
 
     out = jnp.zeros((k, c), jnp.float32)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]
-        flat = packed.tables[lvl].reshape(b * n * h * (w + 1), c)
-        (ix0, iy0, ix1, iy1), taps_w = _bilinear_taps(
+        flat = packed.tables[lvl].reshape(-1, 2 * c)
+        sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x * (w - 1), y * (h - 1), h, w)
-        ix0c, ix1c = jnp.clip(ix0, 0, w - 1), jnp.clip(ix1, 0, w - 1)
-        iy0c, iy1c = jnp.clip(iy0, 0, h - 1), jnp.clip(iy1, 0, h - 1)
         lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
-        idxs, wgts = [], []
-        for (iyc, ixc), tw in zip(((iy0c, ix0c), (iy0c, ix1c),
-                                   (iy1c, ix0c), (iy1c, ix1c)), taps_w):
-            row = (batch_row * n + view) * h + iyc
-            idxs.append(row * (w + 1) + ixc)
-            wgts.append(tw * lw)
-        idx = jnp.stack(idxs, -1).reshape(-1)
-        wgt = jnp.stack(wgts, -1).reshape(-1)
-        g = jnp.take(flat, idx, axis=0).astype(jnp.float32)
-        out = out + (g * wgt[:, None]).reshape(k, 4, c).sum(1)
+        row = packed.row_index(batch_row, view, ry, h) * (w + 1)
+        wy = jnp.stack([wya, wyb], -1).astype(jnp.float32)  # [K, 2]
+        for slot, wx in ((0, wxa), (1, wxb)):
+            g = jnp.take(flat, row + sx + slot, axis=0).astype(jnp.float32)
+            g = g.reshape(k, 2, c)  # (y-half, C)
+            out = out + (g * wy[..., None]).sum(1) * (wx * lw)[:, None]
     return out.reshape(b, q, p, c)
 
 
 @jax.custom_vjp
-def _msmv_pair(packed: PackedFeatures, sampling_locations, scale_weights):
-    return _pair_forward(packed, sampling_locations, scale_weights)
+def _msmv_yfold(packed: PackedFeatures, sampling_locations, scale_weights):
+    return _yfold_forward(packed, sampling_locations, scale_weights)
 
 
-def _msmv_pair_fwd(packed, sampling_locations, scale_weights):
-    return (_pair_forward(packed, sampling_locations, scale_weights),
+def _msmv_yfold_fwd(packed, sampling_locations, scale_weights):
+    return (_yfold_forward(packed, sampling_locations, scale_weights),
             (packed, sampling_locations, scale_weights))
 
 
-def _msmv_pair_bwd(res, g):
+def _msmv_yfold_bwd(res, g):
     packed, loc, sw = res
-    _, vjp = jax.vjp(_msmv_singletap, packed, loc, sw)
+    _, vjp = jax.vjp(_msmv_halfrow, packed, loc, sw)
     return vjp(g)
 
 
-_msmv_pair.defvjp(_msmv_pair_fwd, _msmv_pair_bwd)
+_msmv_yfold.defvjp(_msmv_yfold_fwd, _msmv_yfold_bwd)
 
 
 def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
@@ -240,39 +338,30 @@ def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
     Equivalent to :func:`msmv_sampling_reference`; property-tested against it.
     Accepts either a level list or :class:`PackedFeatures` (pre-flattened —
     pack once per decoder forward, reuse across the 6 layers). Forward runs
-    the pair-gather (or the hybrid MXU kernel when enabled); gradients route
-    through the single-tap formulation via a custom VJP.
+    the y-fold window gather (or the hybrid MXU kernel when enabled);
+    gradients route through the half-row formulation via a custom VJP.
     """
     if not isinstance(mlvl_feats, PackedFeatures):
         mlvl_feats = pack_mlvl_feats(mlvl_feats)
     if not any(t is not None for t in mlvl_feats.mxu_tables):
-        return _msmv_pair(mlvl_feats, sampling_locations, scale_weights)
+        return _msmv_yfold(mlvl_feats, sampling_locations, scale_weights)
     # hybrid (inference-only) path
-    return _pair_forward(mlvl_feats, sampling_locations, scale_weights)
+    return _yfold_forward(mlvl_feats, sampling_locations, scale_weights)
 
 
-def _pair_forward(mlvl_feats: PackedFeatures,
-                  sampling_locations: jnp.ndarray,
-                  scale_weights: jnp.ndarray) -> jnp.ndarray:
+def _yfold_forward(mlvl_feats: PackedFeatures,
+                   sampling_locations: jnp.ndarray,
+                   scale_weights: jnp.ndarray) -> jnp.ndarray:
     packed = mlvl_feats
     num_levels = len(packed.level_shapes)
     assert scale_weights.shape[-1] == num_levels
     b, q, p, _ = sampling_locations.shape
     assert b == packed.batch
     n = packed.num_views
-    if packed.tables[0] is not None:
-        c = packed.tables[0].shape[-1]
-    else:  # level 0 on the MXU path: [B, N*H, W*C]
-        c = packed.mxu_tables[0].shape[-1] // packed.level_shapes[0][1]
-    k = b * q * p
+    c = packed.channels
+    x, y, view, batch_row, k = _flat_point_geometry(packed, sampling_locations)
 
-    x = sampling_locations[..., 0].reshape(k)
-    y = sampling_locations[..., 1].reshape(k)
-    v = sampling_locations[..., 2].reshape(k)
-    view = jnp.clip(jnp.round(v * (n - 1)).astype(jnp.int32), 0, n - 1)
-    batch_row = jnp.repeat(jnp.arange(b, dtype=jnp.int32), q * p)  # [K]
-
-    pair_dnums = jax.lax.GatherDimensionNumbers(
+    window_dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),
         start_index_map=(0, 1))
 
@@ -319,29 +408,21 @@ def _pair_forward(mlvl_feats: PackedFeatures,
             out = out + res.reshape(k, c)
             continue
 
-        (ix0, iy0, ix1, iy1), (w00, w01, w10, w11) = _bilinear_taps(
+        sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x_pix, y_pix, h, w)
-        # x0 clipped into [0, W-1]: x0+1 then lands in the zero guard column
-        # when out of range. When ix0 = -1 the pair window shifts to (0, 1),
-        # so the x1 weight must move to the pair's FIRST slot (the x0 weight
-        # is already masked to 0 there).
-        shifted = ix0 < 0
-        ix0c = jnp.clip(ix0, 0, w - 1)
-        w00, w01 = (jnp.where(shifted, w01, w00),
-                    jnp.where(shifted, 0.0, w01))
-        w10, w11 = (jnp.where(shifted, w11, w10),
-                    jnp.where(shifted, 0.0, w11))
-        iy0c, iy1c = jnp.clip(iy0, 0, h - 1), jnp.clip(iy1, 0, h - 1)
-        row_base = (batch_row * n + view) * h
+        row = packed.row_index(batch_row, view, ry, h)
         lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
 
-        for iyc, (wa, wb) in (((iy0c), (w00, w01)), ((iy1c), (w10, w11))):
-            starts = jnp.stack([row_base + iyc, ix0c], axis=-1)  # [K, 2]
-            g = jax.lax.gather(packed.tables[lvl], starts, pair_dnums,
-                               slice_sizes=(1, 2, c),
-                               mode="promise_in_bounds")  # [K, 1, 2, C]
-            g = g.reshape(k, 2, c).astype(jnp.float32)
-            wpair = jnp.stack([wa * lw, wb * lw], axis=-1)  # [K, 2]
-            out = out + (g * wpair[..., None]).sum(axis=1)
+        starts = jnp.stack([row, sx], axis=-1)                # [K, 2]
+        g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,
+                           slice_sizes=(1, 2, 2 * c),
+                           mode="promise_in_bounds")          # [K, 1, 2, 2C]
+        wmat = (jnp.stack([wxa, wxb], -1)[:, :, None]
+                * jnp.stack([wya, wyb], -1)[:, None, :])      # [K, 2, 2]
+        w4 = (wmat * lw[:, None, None]).reshape(k, 4)         # fp32 weights
+        # contraction over the 4 taps; einsum promotes the bf16 taps to fp32
+        # inside the fusion (no materialized [K, 4, C] fp32 intermediate)
+        out = out + jnp.einsum("ksc,ks->kc", g.reshape(k, 4, c), w4,
+                               preferred_element_type=jnp.float32)
 
     return out.reshape(b, q, p, c)  # [B, Q, P, C]

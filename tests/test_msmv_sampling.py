@@ -107,3 +107,51 @@ def test_jit_and_dtype(rng):
     want = np.asarray(msmv_sampling([jnp.asarray(f) for f in feats],
                                     jnp.asarray(loc), jnp.asarray(w)))
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
+def test_grouped_pack_matches_generic(rng):
+    """pack_mlvl_feats_grouped (local-permute table build, row order
+    (b,t,n,h,g)) must equal the explicit [B,T,G,N,H,W,Cg] regroup + generic
+    pack — forward and gradients."""
+    from sparsebev_tpu.ops.msmv_sampling import (msmv_sampling,
+                                                 pack_mlvl_feats,
+                                                 pack_mlvl_feats_grouped)
+    b, t, n, g, cg = 2, 3, 6, 4, 8
+    c = g * cg
+    q, p = 5, 4
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(b, t * n, h, w, c).astype(np.float32) for h, w in shapes]
+    loc = rng.rand(b * t * g, q, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(b * t * g, q, p, len(shapes)).astype(np.float32)
+
+    def explicit_group(feats_):
+        out = []
+        for feat in feats_:
+            h, w = feat.shape[2], feat.shape[3]
+            f = feat.reshape(b, t, n, h, w, g, cg)
+            f = jnp.transpose(f, (0, 1, 5, 2, 3, 4, 6))
+            out.append(f.reshape(b * t * g, n, h, w, cg))
+        return out
+
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+
+    def loss_generic(fs):
+        packed = pack_mlvl_feats(explicit_group(fs))
+        return jnp.sum(msmv_sampling(packed, jl, jw) ** 2)
+
+    def loss_grouped(fs):
+        packed = pack_mlvl_feats_grouped(fs, num_views=n, num_groups=g)
+        return jnp.sum(msmv_sampling(packed, jl, jw) ** 2)
+
+    out_a = msmv_sampling(pack_mlvl_feats(explicit_group(jf)), jl, jw)
+    out_b = msmv_sampling(pack_mlvl_feats_grouped(jf, n, g), jl, jw)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-5)
+
+    ga = jax.grad(loss_generic)(jf)
+    gb = jax.grad(loss_grouped)(jf)
+    for a_, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

@@ -35,12 +35,15 @@ class Runner:
         per-dispatch host overhead; hooks then fire once per dispatch with
         the K metrics averaged."""
         self.steps_per_dispatch = max(1, steps_per_dispatch)
+        # donate the train state: without donation every step copies the
+        # full params+optimizer buffers (~0.5 GB for r50) before updating
         if self.steps_per_dispatch > 1:
             from .step import make_multi_step
             self.train_step_fn = jax.jit(
-                make_multi_step(train_step_fn, self.steps_per_dispatch))
+                make_multi_step(train_step_fn, self.steps_per_dispatch),
+                donate_argnums=(0,))
         else:
-            self.train_step_fn = jax.jit(train_step_fn)
+            self.train_step_fn = jax.jit(train_step_fn, donate_argnums=(0,))
         self.state = state
         self.loader = loader
         self.work_dir = work_dir
@@ -126,3 +129,8 @@ class Runner:
                 yield jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *group)
                 group = []
+        if group:  # no silent caps: a trailing partial group cannot fill a
+            # K-step dispatch with static shapes, so it is skipped — say so
+            logging.info(
+                "steps_per_dispatch=%d drops a trailing partial group of "
+                "%d batch(es) this epoch", k, len(group))

@@ -312,6 +312,75 @@ def _port_eva02(sd: Dict[str, np.ndarray], prefix: str):
     return {"vit": vit, "sfp": sfp}
 
 
+def _port_sparsebev_head(sd: Dict[str, np.ndarray],
+                         prefix: str = "pts_bbox_head."):
+    """Reference SparseBEVHead state_dict -> our flax head param tree.
+
+    Key map (reference models/sparsebev_head.py:50-51 and
+    models/sparsebev_transformer.py:104-387; the decoder layer is
+    weight-shared so there is exactly one layer's worth of weights):
+
+      init_query_bbox.weight                  -> init_query_bbox
+      label_enc.weight                        -> label_enc.embedding
+      transformer.decoder.decoder_layer.*     -> transformer.decoder_layer.*
+        position_encoder.{0,1,3,4}            -> pos_fc1/pos_ln1/pos_fc2/pos_ln2
+        self_attn.gen_tau                     -> self_attn.gen_tau
+        self_attn.attention.attn.in_proj_*    -> self_attn.attention.in_proj_*
+          (torch packs [Wq;Wk;Wv] on the out dim; ours is the transpose)
+        self_attn.attention.attn.out_proj     -> self_attn.attention.out_proj
+        sampling.{sampling_offset,scale_weights}
+        mixing.{parameter_generator,out_proj}
+        ffn.layers.0.0 / ffn.layers.1         -> ffn.fc1 / ffn.fc2 (mmcv FFN)
+        norm{1,2,3}                           -> norm{1,2,3}
+        cls_branch.{0,1,3,4,6}                -> cls_fc0/cls_ln0/cls_fc1/cls_ln1/cls_out
+        reg_branch.{0,2,4}                    -> reg_fc0/reg_fc1/reg_out
+    """
+    L = f"{prefix}transformer.decoder.decoder_layer."
+    layer: Dict[str, Any] = {
+        "pos_fc1": _linear(sd, f"{L}position_encoder.0"),
+        "pos_ln1": _ln(sd, f"{L}position_encoder.1"),
+        "pos_fc2": _linear(sd, f"{L}position_encoder.3"),
+        "pos_ln2": _ln(sd, f"{L}position_encoder.4"),
+        "self_attn": {
+            "gen_tau": _linear(sd, f"{L}self_attn.gen_tau"),
+            "attention": {
+                "in_proj_weight": np.transpose(
+                    sd[f"{L}self_attn.attention.attn.in_proj_weight"]),
+                "in_proj_bias": sd[f"{L}self_attn.attention.attn.in_proj_bias"],
+                "out_proj": _linear(sd, f"{L}self_attn.attention.attn.out_proj"),
+            },
+        },
+        "sampling": {
+            "sampling_offset": _linear(sd, f"{L}sampling.sampling_offset"),
+            "scale_weights": _linear(sd, f"{L}sampling.scale_weights"),
+        },
+        "mixing": {
+            "parameter_generator": _linear(sd, f"{L}mixing.parameter_generator"),
+            "out_proj": _linear(sd, f"{L}mixing.out_proj"),
+        },
+        "ffn": {
+            "fc1": _linear(sd, f"{L}ffn.layers.0.0"),
+            "fc2": _linear(sd, f"{L}ffn.layers.1"),
+        },
+        "norm1": _ln(sd, f"{L}norm1"),
+        "norm2": _ln(sd, f"{L}norm2"),
+        "norm3": _ln(sd, f"{L}norm3"),
+        "cls_out": _linear(sd, f"{L}cls_branch.6"),
+        "reg_out": _linear(sd, f"{L}reg_branch.4"),
+    }
+    for i, (fc_idx, ln_idx) in enumerate(((0, 1), (3, 4))):
+        layer[f"cls_fc{i}"] = _linear(sd, f"{L}cls_branch.{fc_idx}")
+        layer[f"cls_ln{i}"] = _ln(sd, f"{L}cls_branch.{ln_idx}")
+    for i, fc_idx in enumerate((0, 2)):
+        layer[f"reg_fc{i}"] = _linear(sd, f"{L}reg_branch.{fc_idx}")
+
+    return {
+        "init_query_bbox": sd[f"{prefix}init_query_bbox.weight"],
+        "label_enc": {"embedding": sd[f"{prefix}label_enc.weight"]},
+        "transformer": {"decoder_layer": layer},
+    }
+
+
 def port_torch_params(state_dict: Dict[str, np.ndarray],
                       revise_keys: Sequence[Tuple[str, str]] = (),
                       backbone_type: str = "ResNet"):
@@ -345,6 +414,8 @@ def port_torch_params(state_dict: Dict[str, np.ndarray],
         params["neck"] = _port_fpn(sd, "img_neck.")
     elif any(k.startswith("neck.") for k in sd):
         params["neck"] = _port_fpn(sd, "neck.")
+    if any(k.startswith("pts_bbox_head.") for k in sd):
+        params["head"] = _port_sparsebev_head(sd, "pts_bbox_head.")
     return {"params": params, "batch_stats": stats}
 
 

@@ -65,6 +65,32 @@ def build_rope_tables(head_dim: int, pt_seq_len: int, ft_seq_len: int,
             sin.reshape(-1, sin.shape[-1]).astype(np.float32))
 
 
+def _bicubic_matrix(src: int, dst: int, a: float = -0.75) -> np.ndarray:
+    """[dst, src] interpolation matrix replicating torch
+    F.interpolate(mode='bicubic', align_corners=False) along one axis
+    (cubic convolution kernel with a=-0.75, half-pixel centers, border
+    clamp). Lets traced arrays be resized with two static einsums —
+    jax.image.resize uses the Keys kernel (a=-0.5) and does NOT match
+    torch (≈1e-2 relative error on the interpolated pos_embed)."""
+    w = np.zeros((dst, src), np.float64)
+
+    def cubic(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    for i in range(dst):
+        center = (i + 0.5) * src / dst - 0.5
+        b = math.floor(center)
+        frac = center - b
+        for k in (-1, 0, 1, 2):
+            w[i, min(max(b + k, 0), src - 1)] += cubic(frac - k)
+    return w.astype(np.float32)
+
+
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     """(even, odd) channel pairs -> (-odd, even) (reference utils.py:252-256)."""
     x1 = x[..., 0::2]
@@ -114,7 +140,7 @@ class SwiGLU(nn.Module):
         x1 = Linear(self.hidden, name="w1")(x)
         x2 = Linear(self.hidden, name="w2")(x)
         h = nn.silu(x1) * x2
-        h = nn.LayerNorm(epsilon=1e-6, name="ffn_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="ffn_ln")(h)
         return Linear(self.out, name="w3")(h)
 
 
@@ -159,14 +185,14 @@ class ResBottleneckBlock(nn.Module):
     def __call__(self, x):
         mid = self.dim // 2
         out = nn.Conv(mid, (1, 1), use_bias=False, name="conv1")(x)
-        out = nn.LayerNorm(epsilon=1e-6, name="norm1")(out)
-        out = nn.gelu(out)
+        out = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="norm1")(out)
+        out = nn.gelu(out, approximate=False)
         out = nn.Conv(mid, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                       name="conv2")(out)
-        out = nn.LayerNorm(epsilon=1e-6, name="norm2")(out)
-        out = nn.gelu(out)
+        out = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="norm2")(out)
+        out = nn.gelu(out, approximate=False)
         out = nn.Conv(self.dim, (1, 1), use_bias=False, name="conv3")(out)
-        out = nn.LayerNorm(epsilon=1e-6, name="norm3",
+        out = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="norm3",
                            scale_init=nn.initializers.zeros,
                            bias_init=nn.initializers.zeros)(out)
         return x + out
@@ -190,7 +216,7 @@ class EvaBlock(nn.Module):
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, deterministic: bool = True):
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="norm1")(x)
         if self.window_size > 0:
             h, w = y.shape[1], y.shape[2]
             y, pad_hw = window_partition(y, self.window_size)
@@ -203,7 +229,7 @@ class EvaBlock(nn.Module):
             y = drop_path(self.make_rng("dropout"), y, self.drop_path_rate)
         x = shortcut + y
 
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name="norm2")(x)
         y = SwiGLU(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(y)
         if not deterministic and self.drop_path_rate > 0:
             y = drop_path(self.make_rng("dropout"), y, self.drop_path_rate)
@@ -282,8 +308,11 @@ class ViT(nn.Module):
         size = int(math.isqrt(pos.shape[1]))
         pos = pos.reshape(1, size, size, -1)
         if (size, size) != (h, w):
-            pos = jax.image.resize(pos, (1, h, w, pos.shape[-1]),
-                                   method="bicubic")
+            # torch-bicubic via static interpolation matrices (get_abs_pos,
+            # reference eva02/utils.py:160-189 uses F.interpolate bicubic)
+            wr = jnp.asarray(_bicubic_matrix(size, h))
+            wc = jnp.asarray(_bicubic_matrix(size, w))
+            pos = jnp.einsum("hs,bstc,wt->bhwc", wr, pos, wc)
         return pos
 
     def __call__(self, x, deterministic: bool = True):
@@ -317,8 +346,8 @@ class SimpleFeaturePyramid(nn.Module):
                 x = nn.ConvTranspose(dim // 2, (2, 2), strides=(2, 2),
                                      transpose_kernel=True,
                                      dtype=self.dtype, name=f"s{idx}_deconv1")(x)
-                x = nn.LayerNorm(epsilon=1e-6, name=f"s{idx}_ln0")(x)
-                x = nn.gelu(x)
+                x = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name=f"s{idx}_ln0")(x)
+                x = nn.gelu(x, approximate=False)
                 x = nn.ConvTranspose(dim // 4, (2, 2), strides=(2, 2),
                                      transpose_kernel=True,
                                      dtype=self.dtype, name=f"s{idx}_deconv2")(x)
@@ -334,10 +363,10 @@ class SimpleFeaturePyramid(nn.Module):
                 raise NotImplementedError(f"scale {scale}")
             x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                         dtype=self.dtype, name=f"s{idx}_conv1")(x)
-            x = nn.LayerNorm(epsilon=1e-6, name=f"s{idx}_ln1")(x)
+            x = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name=f"s{idx}_ln1")(x)
             x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype, name=f"s{idx}_conv2")(x)
-            x = nn.LayerNorm(epsilon=1e-6, name=f"s{idx}_ln2")(x)
+            x = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, name=f"s{idx}_ln2")(x)
             outs.append(x)
         if self.top_block:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))

@@ -1,0 +1,160 @@
+"""EVA02 numerics vs the reference's own torch implementation.
+
+Skipped when /root/reference is unavailable. The reference ViT/SFP torch
+modules (models/backbones/eva02/vit.py) are imported at TEST time as an
+oracle — never copied — with a minimal fvcore shim (fvcore is not
+installed; only its weight-init helpers are referenced). A tiny random-init
+config runs through both implementations; the reference state_dict is
+ported with utils.checkpoint_io._port_eva02 and the flax forward must match
+torch end to end (attention+RoPE, SwiGLU+subLN, window/global blocks, abs
+pos interpolation, SimpleFeaturePyramid heads). This closes the round-1 gap
+"EVA02 attention+RoPE numerics untested against torch" with the strongest
+oracle available in a zero-egress environment (no released checkpoint on
+disk)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_DIR = "/root/reference/models/backbones/eva02"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                                reason="reference checkout not available")
+
+
+def _import_reference_vit():
+    if "fvcore" not in sys.modules:
+        fv = types.ModuleType("fvcore")
+        fvnn = types.ModuleType("fvcore.nn")
+        wi = types.ModuleType("fvcore.nn.weight_init")
+
+        def c2_xavier_fill(module):
+            torch.nn.init.kaiming_uniform_(module.weight, a=1)
+            if module.bias is not None:
+                torch.nn.init.constant_(module.bias, 0)
+
+        def c2_msra_fill(module):
+            torch.nn.init.kaiming_normal_(module.weight, mode="fan_out",
+                                          nonlinearity="relu")
+            if module.bias is not None:
+                torch.nn.init.constant_(module.bias, 0)
+
+        wi.c2_xavier_fill = c2_xavier_fill
+        wi.c2_msra_fill = c2_msra_fill
+        dist = types.ModuleType("fvcore.nn.distributed")
+        dist.differentiable_all_reduce = lambda x: x
+        fvnn.weight_init = wi
+        fvnn.distributed = dist
+        fv.nn = fvnn
+        sys.modules.update({"fvcore": fv, "fvcore.nn": fvnn,
+                            "fvcore.nn.weight_init": wi,
+                            "fvcore.nn.distributed": dist})
+    # import the eva02 dir as a package WITHOUT executing its __init__
+    # (which pulls in mmdet); vit.py's relative imports then resolve.
+    if "refeva02" not in sys.modules:
+        pkg = types.ModuleType("refeva02")
+        pkg.__path__ = [REF_DIR]
+        sys.modules["refeva02"] = pkg
+    import importlib
+    return importlib.import_module("refeva02.vit"), \
+        importlib.import_module("refeva02.fpn")
+
+
+CFG = dict(img_size=64, real_img_size=(64, 96), patch_size=16, embed_dim=64,
+           depth=3, num_heads=4, mlp_ratio=4 * 2 / 3, drop_path_rate=0.0,
+           use_abs_pos=True, pt_hw_seq_len=16, intp_freq=True, window_size=2,
+           window_block_indexes=(0, 2), residual_block_indexes=(),
+           use_act_checkpoint=False, pretrain_img_size=64,
+           pretrain_use_cls_token=True)
+
+
+def _torch_vit(refvit):
+    torch.manual_seed(0)
+    net = refvit.ViT(in_chans=3, qkv_bias=True, xattn=False,
+                     out_feature="last_feat", **CFG)
+    # non-trivial weights everywhere (defaults zero-init pos_embed etc.)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    net.eval()
+    return net
+
+
+def test_eva02_vit_matches_reference(rng):
+    refvit, _ = _import_reference_vit()
+    from sparsebev_tpu.models.eva02 import ViT as FlaxViT
+    from sparsebev_tpu.utils.checkpoint_io import _port_eva02
+
+    net = _torch_vit(refvit)
+    x = rng.randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x))["last_feat"].numpy()  # [B,C,H',W']
+
+    sd = {f"backbone.net.{k}": v.detach().numpy()
+          for k, v in net.state_dict().items()}
+    ported = _port_eva02(sd, "backbone.")["vit"]
+
+    flax_vit = FlaxViT(**CFG)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = flax_vit.init(jax.random.PRNGKey(0), xj, True)
+    missing = set(jax.tree_util.tree_flatten_with_path(variables["params"])[0].__class__())
+    init_keys = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    port_keys = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(ported)[0]}
+    assert init_keys == port_keys, (init_keys ^ port_keys)
+
+    got = flax_vit.apply({"params": jax.tree_util.tree_map(jnp.asarray, ported)},
+                         xj, True)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_eva02_sfp_matches_reference(rng):
+    refvit, reffpn = _import_reference_vit()
+    from sparsebev_tpu.models.eva02 import EVA02 as FlaxEVA02
+    from sparsebev_tpu.utils.checkpoint_io import _port_eva02
+
+    net = _torch_vit(refvit)
+    torch.manual_seed(1)
+    sfp = refvit.SimpleFeaturePyramid(
+        net=net, in_feature="last_feat", out_channels=32,
+        scale_factors=(4.0, 2.0, 1.0, 0.5),
+        top_block=reffpn.LastLevelMaxPool(), norm="LN")
+    with torch.no_grad():
+        for name, p in sfp.named_parameters():
+            if not name.startswith("net."):
+                p.add_(torch.randn_like(p) * 0.02)
+    sfp.eval()
+
+    x = rng.randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        want = sfp(torch.from_numpy(x))  # dict p2..p6, channel-first
+
+    sd = {f"backbone.{k}": v.detach().numpy()
+          for k, v in sfp.state_dict().items()}
+    ported = _port_eva02(sd, "backbone.")
+
+    model = FlaxEVA02(fpn_out_channels=32, fpn_top_block=True, **CFG)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = model.init(jax.random.PRNGKey(0), xj, True)
+    init_keys = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    port_keys = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(
+                     {"vit": ported["vit"], "sfp": ported["sfp"]})[0]}
+    assert init_keys == port_keys, (init_keys ^ port_keys)
+
+    outs = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, ported)},
+                       xj, True)
+    want_list = [want[k] for k in sorted(want, key=lambda s: int(s[1:]))]
+    assert len(outs) == len(want_list)
+    for got_j, want_t in zip(outs, want_list):
+        got = np.transpose(np.asarray(got_j), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want_t.numpy(), rtol=3e-4, atol=3e-4)

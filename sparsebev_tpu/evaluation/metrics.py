@@ -3,43 +3,72 @@ mAVE / mAAE).
 
 The reference delegates to nuscenes-devkit via mmdet3d's
 ``NuScenesDataset.evaluate`` (/root/reference/val.py:19-47); the devkit is
-not available in this environment, so this module implements the published
-nuScenes detection protocol directly:
+not installable in this environment, so this module re-implements the
+devkit's detection algorithm LITERALLY (nuscenes/eval/detection/algo.py
+``accumulate``/``calc_ap``/``calc_tp`` and evaluate.py's aggregation,
+config ``detection_cvpr_2019``):
 
+- class-range filtering of GT and predictions (center distance; car 50 m,
+  barrier/traffic_cone 30 m, ...), max 500 boxes/sample enforced;
 - per class, per center-distance threshold d in {0.5, 1, 2, 4} m: greedy
-  match predictions (globally sorted by score) to ground truth;
-- AP = area of the precision-recall curve above precision 0.1 and recall
-  0.1, normalized by 0.9^2;
-- TP metrics (translation / scale / orientation / velocity / attribute
-  errors) accumulated at d = 2 m over the recall > 0.1 region;
-- NDS = (5*mAP + sum_tp (1 - min(1, mTP))) / 10.
+  match predictions in global score order against unmatched GT;
+- precision/confidence interpolated onto a 101-point recall grid; TP-error
+  curves are cumulative means interpolated on the CONFIDENCE axis;
+- calc_ap: precision[11:] minus 0.1, clipped, mean / 0.9 (no monotone
+  envelope — the devkit does not apply one);
+- calc_tp: mean of the error curve on [11 : max_recall_ind], where
+  max_recall_ind is the last grid point with nonzero confidence; 1.0 when
+  the range is empty;
+- TP metrics at d = 2 m; devkit skip rules (traffic_cone: no orientation /
+  velocity / attribute; barrier: no velocity / attribute, orientation
+  modulo pi);
+- attribute errors use the mmdet3d velocity->attribute heuristic for
+  predictions (results.velocity_attribute — identical to what the
+  reference's submission JSON carries). GT attributes are taken from
+  ``gt_attrs`` when the dataset provides them; otherwise they are
+  approximated by the same heuristic on GT velocities (documented
+  approximation — real nuScenes GT carries annotated attributes);
+- NDS = (5*mAP + sum_tp max(0, 1 - min(1, mTP))) / 10.
 
-Attributes are not predicted by this model family (the reference relies on
-mmdet3d's velocity heuristic + devkit defaults); mAAE here defaults to the
-worst case 1.0 unless attribute scores are supplied.
+Known remaining deltas vs a real devkit run: ego distance is measured from
+the lidar-frame origin (devkit uses the ego pose; ~1 m sensor offset), and
+the devkit's num_pts>0 GT filter needs per-box point counts the info files
+don't carry here.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+from .results import velocity_attribute
 
 DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
 TP_THRESHOLD = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 NELEM = 101  # recall samples
+MAX_BOXES_PER_SAMPLE = 500
 
 DEFAULT_CLASSES = (
     "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
     "motorcycle", "bicycle", "pedestrian", "traffic_cone")
 
-# classes where some TP metrics are undefined (devkit convention)
-NO_VELOCITY = {"barrier", "traffic_cone"}
-NO_ATTRIBUTE = {"barrier", "traffic_cone"}
-PERIOD_PI = {"barrier"}  # orientation compared modulo pi
+# devkit detection_cvpr_2019 class_range (meters from ego)
+CLASS_RANGE = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+
+TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+# devkit evaluate.py skip rules
+_SKIP = {
+    "traffic_cone": {"attr_err", "vel_err", "orient_err"},
+    "barrier": {"attr_err", "vel_err"},
+}
 
 
 def _angle_diff(a, b, period):
@@ -48,61 +77,144 @@ def _angle_diff(a, b, period):
 
 
 def _aligned_iou3d(dims_a, dims_b):
-    """IoU of two axis-aligned, center-aligned boxes given (w, l, h)."""
+    """IoU of two axis-aligned, center-aligned boxes given (w, l, h)
+    (devkit scale_iou)."""
     inter = np.prod(np.minimum(dims_a, dims_b), axis=-1)
     union = np.prod(dims_a, axis=-1) + np.prod(dims_b, axis=-1) - inter
     return inter / np.maximum(union, 1e-9)
 
 
-class NuScenesDetectionEvaluator:
-    """Accumulates per-sample predictions + GT, computes the metric table."""
+def _cummean(x: np.ndarray) -> np.ndarray:
+    return np.cumsum(x) / (np.arange(len(x)) + 1)
 
-    def __init__(self, classes: Sequence[str] = DEFAULT_CLASSES):
+
+class _MetricData:
+    """devkit DetectionMetricData: 101-point curves."""
+
+    def __init__(self, precision, confidence, errors):
+        self.precision = precision      # [101]
+        self.confidence = confidence    # [101]
+        self.errors = errors            # metric -> [101]
+
+    @property
+    def max_recall_ind(self) -> int:
+        nz = np.nonzero(self.confidence)[0]
+        return int(nz[-1]) if len(nz) else 0
+
+    @classmethod
+    def no_predictions(cls):
+        return cls(np.zeros(NELEM), np.zeros(NELEM),
+                   {k: np.ones(NELEM) for k in TP_METRICS})
+
+
+def calc_ap(md: _MetricData, min_recall: float = MIN_RECALL,
+            min_precision: float = MIN_PRECISION) -> float:
+    """devkit algo.py calc_ap (note the [round(100*min_recall)+1:] slice)."""
+    prec = np.copy(md.precision)
+    prec = prec[round(100 * min_recall) + 1:]
+    prec -= min_precision
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - min_precision)
+
+
+def calc_tp(md: _MetricData, metric_name: str,
+            min_recall: float = MIN_RECALL) -> float:
+    """devkit algo.py calc_tp."""
+    first_ind = round(100 * min_recall) + 1
+    last_ind = md.max_recall_ind
+    if last_ind < first_ind:
+        return 1.0
+    return float(np.mean(md.errors[metric_name][first_ind:last_ind + 1]))
+
+
+class NuScenesDetectionEvaluator:
+    """Accumulates per-sample predictions + GT, computes the metric table.
+
+    Boxes are lidar/world gravity-centered ``[x, y, z, w, l, h, yaw, vx,
+    vy]``. Class-range filtering measures center distance from the frame
+    origin (see module docstring)."""
+
+    def __init__(self, classes: Sequence[str] = DEFAULT_CLASSES,
+                 filter_by_range: bool = True):
         self.classes = list(classes)
+        self.filter_by_range = filter_by_range
         self.reset()
 
     def reset(self):
-        self._preds = defaultdict(list)  # class -> list of records
+        self._preds = defaultdict(list)  # class -> [(token, score, box, attr)]
         self._gt_count = defaultdict(int)
-        self._gt = {}                    # (sample, class) -> gt arrays
+        self._gt = {}                    # (token, class) -> (boxes, attrs)
         self._num_samples = 0
+
+    def _in_range(self, cname: str, boxes: np.ndarray) -> np.ndarray:
+        if not self.filter_by_range or len(boxes) == 0:
+            return np.ones(len(boxes), bool)
+        r = CLASS_RANGE.get(cname, np.inf)
+        return np.linalg.norm(boxes[:, :2], axis=1) <= r
 
     def add_sample(self,
                    pred_boxes: np.ndarray, pred_scores: np.ndarray,
                    pred_labels: np.ndarray,
                    gt_boxes: np.ndarray, gt_labels: np.ndarray,
                    pred_mask: Optional[np.ndarray] = None,
-                   sample_token: Optional[str] = None) -> None:
-        """Boxes are world gravity-centered [x, y, z, w, l, h, yaw, vx, vy]."""
+                   sample_token: Optional[str] = None,
+                   pred_attrs: Optional[Sequence[str]] = None,
+                   gt_attrs: Optional[Sequence[str]] = None) -> None:
         token = sample_token or f"sample_{self._num_samples}"
         self._num_samples += 1
+        pred_boxes = np.asarray(pred_boxes)
+        gt_boxes = np.asarray(gt_boxes)
         if pred_mask is None:
             pred_mask = np.ones(len(pred_boxes), bool)
+        assert int(np.sum(pred_mask)) <= MAX_BOXES_PER_SAMPLE, (
+            f"devkit caps submissions at {MAX_BOXES_PER_SAMPLE} boxes/sample "
+            f"(got {int(np.sum(pred_mask))})")
+
+        def _attr(source_attrs, i, cname, box):
+            if source_attrs is not None:
+                return source_attrs[i]
+            vx, vy = (float(box[7]), float(box[8])) if box.shape[-1] > 8 \
+                else (0.0, 0.0)
+            return velocity_attribute(cname, vx, vy)
+
         for ci, cname in enumerate(self.classes):
-            gsel = np.asarray(gt_labels) == ci
-            self._gt[(token, cname)] = np.asarray(gt_boxes)[gsel]
-            self._gt_count[cname] += int(gsel.sum())
-            psel = (np.asarray(pred_labels) == ci) & pred_mask
-            for b, s in zip(np.asarray(pred_boxes)[psel],
-                            np.asarray(pred_scores)[psel]):
-                self._preds[cname].append((token, float(s), b))
+            gsel = np.flatnonzero(np.asarray(gt_labels) == ci)
+            gboxes = gt_boxes[gsel]
+            keep = self._in_range(cname, gboxes)
+            gattrs = [_attr(gt_attrs, i, cname, gt_boxes[i]) for i in gsel]
+            self._gt[(token, cname)] = (
+                gboxes[keep], [a for a, k in zip(gattrs, keep) if k])
+            self._gt_count[cname] += int(keep.sum())
 
-    # -- core accumulation (devkit algorithm) -------------------------------
-    def _accumulate(self, cname: str, dist_th: float):
-        """Greedy match across the whole set in score order. Returns
-        (precision, recall, tp_errors dict of running means per match)."""
+            psel = np.flatnonzero((np.asarray(pred_labels) == ci) & pred_mask)
+            if len(psel) == 0:
+                continue
+            pboxes = pred_boxes[psel]
+            keep_p = self._in_range(cname, pboxes)
+            for j, i in enumerate(psel):
+                if not keep_p[j]:
+                    continue
+                self._preds[cname].append(
+                    (token, float(np.asarray(pred_scores)[i]), pred_boxes[i],
+                     _attr(pred_attrs, i, cname, pred_boxes[i])))
+
+    # -- devkit algo.py::accumulate -----------------------------------------
+    def _accumulate(self, cname: str, dist_th: float) -> Optional[_MetricData]:
         npos = self._gt_count[cname]
-        preds = sorted(self._preds[cname], key=lambda r: -r[1])
-        if npos == 0 or len(preds) == 0:
+        if npos == 0:
             return None
+        preds = sorted(self._preds[cname], key=lambda r: -r[1])
+        if len(preds) == 0:
+            return _MetricData.no_predictions()
 
-        tp, fp = [], []
-        errs = {"trans": [], "scale": [], "orient": [], "vel": [], "attr": []}
-        period = np.pi if cname in PERIOD_PI else 2 * np.pi
-        free = {}  # (token) -> bool mask of unmatched gts (vectorized scan)
+        period = np.pi if cname == "barrier" else 2 * np.pi
+        tp, fp, conf = [], [], []
+        match = {k: [] for k in TP_METRICS}
+        match_conf = []
+        free = {}  # token -> bool mask of unmatched gts
 
-        for token, score, box in preds:
-            gts = self._gt.get((token, cname), np.zeros((0, 9)))
+        for token, score, box, attr in preds:
+            gts, gattrs = self._gt.get((token, cname), (np.zeros((0, 9)), []))
             if token not in free:
                 free[token] = np.ones(len(gts), bool)
             mask = free[token]
@@ -116,79 +228,64 @@ class NuScenesDetectionEvaluator:
             if best is None:
                 tp.append(0)
                 fp.append(1)
+                conf.append(score)
                 continue
             free[token][best] = False
             tp.append(1)
             fp.append(0)
+            conf.append(score)
             g = gts[best]
-            errs["trans"].append(float(np.linalg.norm(box[:2] - g[:2])))
-            errs["scale"].append(1.0 - float(_aligned_iou3d(box[3:6], g[3:6])))
-            errs["orient"].append(float(_angle_diff(box[6], g[6], period)))
-            if cname not in NO_VELOCITY and box.shape[-1] > 8:
-                errs["vel"].append(float(np.linalg.norm(box[7:9] - g[7:9])))
-            errs["attr"].append(1.0)  # no attribute head: worst case
+            match["trans_err"].append(float(np.linalg.norm(box[:2] - g[:2])))
+            match["scale_err"].append(
+                1.0 - float(_aligned_iou3d(box[3:6], g[3:6])))
+            match["orient_err"].append(
+                float(_angle_diff(box[6], g[6], period)))
+            if box.shape[-1] > 8 and g.shape[-1] > 8:
+                match["vel_err"].append(
+                    float(np.linalg.norm(box[7:9] - g[7:9])))
+            else:
+                match["vel_err"].append(0.0)
+            match["attr_err"].append(float(attr != gattrs[best]))
+            match_conf.append(score)
+
+        if len(match["trans_err"]) == 0:
+            return _MetricData.no_predictions()
 
         tp = np.cumsum(tp).astype(np.float64)
         fp = np.cumsum(fp).astype(np.float64)
-        precision = tp / np.maximum(tp + fp, 1e-9)
-        recall = tp / npos
-        return precision, recall, errs
+        prec = tp / (fp + tp)
+        rec = tp / float(npos)
 
-    @staticmethod
-    def _ap(precision, recall) -> float:
-        """Interpolated AP above (0.1, 0.1) normalized by 0.9^2."""
         rec_interp = np.linspace(0, 1, NELEM)
-        prec = np.interp(rec_interp, recall, precision, right=0)
-        # running max from the right (monotone non-increasing envelope)
-        prec = np.maximum.accumulate(prec[::-1])[::-1]
-        prec = prec[rec_interp >= MIN_RECALL]
-        prec = np.maximum(prec - MIN_PRECISION, 0)
-        return float(prec.mean() / (1.0 - MIN_PRECISION))
+        prec_i = np.interp(rec_interp, rec, prec, right=0)
+        conf_i = np.interp(rec_interp, rec, conf, right=0)
 
-    def _tp_metric(self, cname: str, key: str) -> float:
-        """Mean error over the recall > MIN_RECALL region at TP_THRESHOLD
-        (devkit: average of the cumulative-mean curve)."""
-        acc = self._accumulate(cname, TP_THRESHOLD)
-        if acc is None:
-            return np.nan
-        precision, recall, errs = acc
-        e = np.asarray(errs[key], np.float64)
-        if len(e) == 0:
-            return np.nan
-        cummean = np.cumsum(e) / (np.arange(len(e)) + 1)
-        # sample the cumulative mean on the match-recall axis
-        match_recall = np.arange(1, len(e) + 1) / max(self._gt_count[cname], 1)
-        rec_interp = np.linspace(0, 1, NELEM)
-        curve = np.interp(rec_interp, match_recall, cummean,
-                          right=cummean[-1] if len(cummean) else 1.0)
-        sel = rec_interp >= MIN_RECALL
-        max_recall = match_recall[-1] if len(match_recall) else 0.0
-        sel &= rec_interp <= max(max_recall, MIN_RECALL + 1e-9)
-        if not sel.any():
-            return 1.0
-        return float(curve[sel].mean())
+        errors = {}
+        mc = np.asarray(match_conf)[::-1]  # ascending confidence
+        for key in TP_METRICS:
+            tmp = _cummean(np.asarray(match[key], np.float64))[::-1]
+            errors[key] = np.interp(conf_i[::-1], mc, tmp)[::-1]
+        return _MetricData(prec_i, conf_i, errors)
 
     def evaluate(self) -> Dict[str, float]:
-        per_class_ap = {}
-        tp_names = {"trans": "mATE", "scale": "mASE", "orient": "mAOE",
-                    "vel": "mAVE", "attr": "mAAE"}
-        tp_vals = {k: [] for k in tp_names}
+        per_class_ap: Dict[str, float] = {}
+        tp_names = {"trans_err": "mATE", "scale_err": "mASE",
+                    "orient_err": "mAOE", "vel_err": "mAVE",
+                    "attr_err": "mAAE"}
+        tp_vals: Dict[str, List[float]] = {k: [] for k in tp_names}
 
         for cname in self.classes:
-            aps = []
-            for d in DIST_THRESHOLDS:
-                acc = self._accumulate(cname, d)
-                aps.append(0.0 if acc is None else self._ap(acc[0], acc[1]))
+            mds = {d: self._accumulate(cname, d) for d in DIST_THRESHOLDS}
+            aps = [0.0 if mds[d] is None else calc_ap(mds[d])
+                   for d in DIST_THRESHOLDS]
             per_class_ap[cname] = float(np.mean(aps))
-            if self._gt_count[cname] > 0:
-                for key in tp_names:
-                    if key == "vel" and cname in NO_VELOCITY:
-                        continue
-                    if key == "attr" and cname in NO_ATTRIBUTE:
-                        continue
-                    v = self._tp_metric(cname, key)
-                    if not np.isnan(v):
-                        tp_vals[key].append(v)
+            md_tp = mds[TP_THRESHOLD]
+            if md_tp is None:
+                continue
+            for key in tp_names:
+                if key in _SKIP.get(cname, ()):
+                    continue
+                tp_vals[key].append(calc_tp(md_tp, key))
 
         mean_ap = float(np.mean(list(per_class_ap.values())))
         out = {"mAP": mean_ap}

@@ -9,18 +9,35 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+# mmdet3d NuScenesDataset.DefaultAttribute (what _format_bbox falls back to
+# when the velocity heuristic doesn't override it)
 DEFAULT_ATTRIBUTES = {
-    "car": "vehicle.moving", "truck": "vehicle.moving",
-    "construction_vehicle": "vehicle.parked", "bus": "vehicle.moving",
-    "trailer": "vehicle.parked", "barrier": "",
-    "motorcycle": "cycle.with_rider", "bicycle": "cycle.without_rider",
-    "pedestrian": "pedestrian.moving", "traffic_cone": "",
+    "car": "vehicle.parked", "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked", "truck": "vehicle.parked",
+    "bus": "vehicle.moving", "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked", "bicycle": "cycle.without_rider",
+    "barrier": "", "traffic_cone": "",
 }
-STOPPED_ATTRIBUTES = {
-    "car": "vehicle.parked", "truck": "vehicle.parked",
-    "bus": "vehicle.stopped", "motorcycle": "cycle.without_rider",
-    "pedestrian": "pedestrian.standing",
-}
+_MOVING_VEHICLES = {"car", "construction_vehicle", "bus", "truck", "trailer"}
+_CYCLES = {"bicycle", "motorcycle"}
+
+
+def velocity_attribute(name: str, vx: float, vy: float,
+                       vel_thresh: float = 0.2) -> str:
+    """mmdet3d's velocity->attribute heuristic (_format_bbox): what the
+    reference writes into the submission JSON that devkit NDS scores."""
+    speed = float(np.hypot(vx, vy))
+    if speed > vel_thresh:
+        if name in _MOVING_VEHICLES:
+            return "vehicle.moving"
+        if name in _CYCLES:
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTES.get(name, "")
+    if name == "pedestrian":
+        return "pedestrian.standing"
+    if name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTES.get(name, "")
 
 
 def _yaw_to_quaternion(yaw: float) -> List[float]:
@@ -51,10 +68,8 @@ def format_nusc_submission(results_per_sample: Dict[str, Dict],
             if not m:
                 continue
             name = classes[int(l)]
-            speed = float(np.linalg.norm(b[7:9])) if len(b) > 8 else 0.0
-            attr = (DEFAULT_ATTRIBUTES.get(name, "") if speed > vel_thresh
-                    else STOPPED_ATTRIBUTES.get(name,
-                                                DEFAULT_ATTRIBUTES.get(name, "")))
+            vx, vy = (float(b[7]), float(b[8])) if len(b) > 8 else (0.0, 0.0)
+            attr = velocity_attribute(name, vx, vy, vel_thresh)
             entries.append({
                 "sample_token": token,
                 "translation": [float(x) for x in b[:3]],

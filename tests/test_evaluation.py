@@ -12,8 +12,9 @@ CLASSES = ["car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
 
 
 def _random_gt(rng, n):
+    # keep centers within every class's devkit range (barrier/cone: 30 m)
     return np.concatenate([
-        rng.uniform(-40, 40, (n, 2)),
+        rng.uniform(-20, 20, (n, 2)),
         rng.uniform(-2, 1, (n, 1)),
         rng.uniform(1, 4, (n, 3)),
         rng.uniform(-np.pi, np.pi, (n, 1)),
@@ -31,9 +32,9 @@ def test_perfect_predictions(rng):
     assert m["mAP"] > 0.99
     assert m["mATE"] < 0.01 and m["mASE"] < 0.01
     assert m["mAOE"] < 0.01 and m["mAVE"] < 0.01
-    assert m["mAAE"] == 1.0  # no attribute head
-    # NDS = (5*1 + 4*1 + 0) / 10
-    assert m["NDS"] == pytest.approx(0.9, abs=0.01)
+    # identical velocities -> identical heuristic attributes
+    assert m["mAAE"] < 0.01
+    assert m["NDS"] == pytest.approx(1.0, abs=0.01)
 
 
 def test_garbage_predictions(rng):
@@ -94,3 +95,85 @@ def test_submission_format(rng, tmp_path):
     import json, os
     assert os.path.exists(tmp_path / "sub.json")
     json.load(open(tmp_path / "sub.json"))
+
+
+def test_calc_ap_calc_tp_devkit_semantics():
+    """Golden checks of the devkit index conventions (algo.py)."""
+    import numpy as np
+    from sparsebev_tpu.evaluation.metrics import (_MetricData, calc_ap,
+                                                  calc_tp, TP_METRICS)
+    ones_err = {k: np.full(101, 0.5) for k in TP_METRICS}
+
+    # calc_ap slices precision[11:] — the first 11 grid points are ignored
+    prec = np.concatenate([np.zeros(11), np.ones(90)])
+    md = _MetricData(prec, np.ones(101), ones_err)
+    assert calc_ap(md) == pytest.approx(1.0)
+    md = _MetricData(np.full(101, 0.1), np.ones(101), ones_err)
+    assert calc_ap(md) == pytest.approx(0.0)
+    md = _MetricData(np.ones(101), np.ones(101), ones_err)
+    assert calc_ap(md) == pytest.approx(1.0)
+
+    # calc_tp averages errors[11 : max_recall_ind + 1]
+    conf = np.concatenate([np.full(51, 0.9), np.zeros(50)])
+    errs = {k: np.concatenate([np.full(51, 0.5), np.full(50, 7.0)])
+            for k in TP_METRICS}
+    md = _MetricData(np.ones(101), conf, errs)
+    assert md.max_recall_ind == 50
+    assert calc_tp(md, "trans_err") == pytest.approx(0.5)
+    # no achieved recall -> defined as 1.0
+    md = _MetricData(np.ones(101), np.zeros(101), errs)
+    assert calc_tp(md, "trans_err") == 1.0
+
+
+def test_class_range_filter(rng):
+    """devkit detection_cvpr_2019 class ranges: a barrier at 45 m is outside
+    its 30 m range and must not contribute to GT counts or predictions."""
+    ev = NuScenesDetectionEvaluator(CLASSES)
+    bidx = CLASSES.index("barrier")
+    box_far = np.array([[45.0, 0, 0, 1, 1, 1, 0, 0, 0]], np.float32)
+    box_near = np.array([[10.0, 0, 0, 1, 1, 1, 0, 0, 0]], np.float32)
+    ev.add_sample(box_far, np.array([0.9]), np.array([bidx]),
+                  box_far, np.array([bidx]))
+    assert ev._gt_count["barrier"] == 0
+    assert len(ev._preds["barrier"]) == 0
+    ev.add_sample(box_near, np.array([0.9]), np.array([bidx]),
+                  box_near, np.array([bidx]))
+    assert ev._gt_count["barrier"] == 1
+    assert len(ev._preds["barrier"]) == 1
+
+
+def test_tp_skip_rules(rng):
+    """traffic_cone orientation errors must not leak into mAOE (devkit skips
+    orient/vel/attr for cones, vel/attr for barriers)."""
+    ev = NuScenesDetectionEvaluator(CLASSES)
+    cidx = CLASSES.index("traffic_cone")
+    car = CLASSES.index("car")
+    gt = np.array([[5.0, 0, 0, 1, 1, 1, 0.0, 0, 0],
+                   [8.0, 0, 0, 1, 1, 1, 0.0, 0, 0]], np.float32)
+    pred = gt.copy()
+    pred[0, 6] = np.pi / 2  # badly wrong cone orientation
+    labels = np.array([cidx, car])
+    ev.add_sample(pred, np.array([0.9, 0.9]), labels, gt, labels)
+    m = ev.evaluate()
+    assert m["mAOE"] < 1e-6  # the car is perfect; the cone is skipped
+
+
+def test_attribute_heuristic():
+    from sparsebev_tpu.evaluation.results import velocity_attribute
+    assert velocity_attribute("car", 1.0, 0.0) == "vehicle.moving"
+    assert velocity_attribute("car", 0.0, 0.0) == "vehicle.parked"
+    assert velocity_attribute("bus", 0.05, 0.0) == "vehicle.stopped"
+    assert velocity_attribute("bicycle", 2.0, 0.0) == "cycle.with_rider"
+    assert velocity_attribute("bicycle", 0.0, 0.0) == "cycle.without_rider"
+    assert velocity_attribute("pedestrian", 0.0, 0.0) == "pedestrian.standing"
+    assert velocity_attribute("pedestrian", 1.0, 0.0) == "pedestrian.moving"
+    assert velocity_attribute("barrier", 5.0, 0.0) == ""
+
+
+def test_max_boxes_per_sample_cap(rng):
+    ev = NuScenesDetectionEvaluator(CLASSES)
+    n = 501
+    boxes = _random_gt(rng, n)
+    with pytest.raises(AssertionError):
+        ev.add_sample(boxes, np.ones(n), np.zeros(n, int),
+                      boxes[:1], np.zeros(1, int))

@@ -67,5 +67,6 @@ data = dict(
 )
 
 total_epochs = 1
+eval_config = dict(interval=1)
 batch_size = 2
 log_config = dict(interval=1, hooks=[dict(type="TextLoggerHook", interval=1)])

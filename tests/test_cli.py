@@ -87,3 +87,19 @@ def test_train_cli_multi_dispatch(synth_ann, tmp_path):
     import re as _re
     m = _re.search(r"training done at step (\d+)", log)
     assert m and int(m.group(1)) == 2  # 2 batches -> 1 dispatch of 2 steps
+
+
+def test_train_cli_with_eval_hook(synth_ann, tmp_path):
+    """Training ends with a metric table when a val split exists (reference
+    registers EvalHook at interval=total_epochs, train.py:154-158)."""
+    work = str(tmp_path / "work_eval")
+    out = _run([
+        sys.executable, "tools/train.py",
+        "--config", "configs/smoke_synthetic.py",
+        "--work-dir", work, "--platform", "cpu",
+        "--override", f"data.train.ann_file={synth_ann}",
+        f"data.val.ann_file={synth_ann}",
+    ])
+    assert out.returncode == 0, out.stderr[-3000:]
+    log = out.stdout + out.stderr
+    assert "eval @ epoch" in log and "NDS" in log

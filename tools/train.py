@@ -142,6 +142,33 @@ def main():
     hooks.append(CheckpointHook(interval=ck.get("interval", 1),
                                 max_keep_ckpts=ck.get("max_keep_ckpts", 1)))
 
+    # training-time eval (reference registers Dist/EvalHook at
+    # interval=total_epochs, train.py:154-158 / eval_config)
+    eval_interval = cfg.get("eval_config", {}).get(
+        "interval", cfg.total_epochs)
+    val_cfg = cfg.data.get("val") or {}
+    ann = val_cfg.get("ann_file")
+    ann_first = ann[0] if isinstance(ann, (list, tuple)) else ann
+    if ann_first and os.path.exists(ann_first) and eval_interval > 0:
+        from sparsebev_tpu.evaluation import run_offline_eval
+        from sparsebev_tpu.train.hooks import EvalHook
+
+        val_dataset = build_dataset(cfg.data["val"])
+        val_loader = build_dataloader(
+            val_dataset, batch_size=1,
+            num_workers=cfg.data.get("workers_per_gpu", 4),
+            shuffle=False, drop_last=False, max_gt=cfg.get("max_gt", 64))
+
+        def eval_fn(state):
+            variables = {"params": jax.device_get(state.params)}
+            if getattr(state, "batch_stats", None):
+                variables["batch_stats"] = jax.device_get(state.batch_stats)
+            metrics, _ = run_offline_eval(model, variables, aux.build_coder(),
+                                          val_dataset, val_loader)
+            return metrics
+
+        hooks.append(EvalHook(interval=eval_interval, eval_fn=eval_fn))
+
     runner = Runner(train_step, state, loader, work_dir,
                     total_epochs=cfg.total_epochs, lr_schedule=schedule,
                     hooks=hooks, mesh=make_mesh_for_batch(cfg.batch_size),

@@ -83,45 +83,44 @@ def main():
             model, variables,
             num_frames=cfg.model["pts_bbox_head"]["num_frames"], coder=coder)
 
-    @jax.jit
-    def forward(variables, img, lidar2img, time_diff):
-        preds = model.apply(variables, img, lidar2img, time_diff, train=False)
-        dec = coder.decode(preds)
-        return dec
-
-    evaluator = NuScenesDetectionEvaluator(classes=dataset.classes)
-    results_per_sample = {}
-    n_done = 0
-    for batch in loader:
-        if streaming is not None:
+    if streaming is not None:
+        evaluator = NuScenesDetectionEvaluator(classes=dataset.classes)
+        results_per_sample = {}
+        n_done = 0
+        for batch in loader:
             dec = jax.device_get(streaming.infer(
                 batch["img"], batch["lidar2img"], batch["time_diff"],
                 batch["img_metas"][0].get("filename", [])))
-        else:
-            dec = jax.device_get(forward(
-                variables, jnp.asarray(batch["img"]),
-                jnp.asarray(batch["lidar2img"]), jnp.asarray(batch["time_diff"])))
-        for i, meta in enumerate(batch["img_metas"]):
-            token = meta.get("sample_idx") or f"sample_{n_done}"
-            res = {k: np.asarray(v[i]) for k, v in dec.items()}
-            # output z is gravity-centered via denormalize; shift to bottom
-            # center for the box struct convention when formatting
-            results_per_sample[token] = res
-            if "gt_boxes" in batch:
-                evaluator.add_sample(
-                    res["bboxes"], res["scores"], res["labels"],
-                    batch["gt_boxes"][i][batch["gt_mask"][i]],
-                    batch["gt_labels"][i][batch["gt_mask"][i]],
-                    pred_mask=res["mask"], sample_token=token)
-            n_done += 1
-        logging.info("evaluated %d samples", n_done)
+            for i, meta in enumerate(batch["img_metas"]):
+                token = meta.get("sample_idx") or f"sample_{n_done}"
+                res = {k: np.asarray(v[i]) for k, v in dec.items()}
+                results_per_sample[token] = res
+                if "gt_boxes" in batch:
+                    evaluator.add_sample(
+                        res["bboxes"], res["scores"], res["labels"],
+                        batch["gt_boxes"][i][batch["gt_mask"][i]],
+                        batch["gt_labels"][i][batch["gt_mask"][i]],
+                        pred_mask=res["mask"], sample_token=token)
+                n_done += 1
+            logging.info("evaluated %d samples", n_done)
+        metrics = evaluator.evaluate() if evaluator._num_samples else None
+    else:
+        # offline path: data-parallel over all visible devices (replaces the
+        # reference's multi_gpu_test/gpu_collect, val.py:132)
+        from sparsebev_tpu.evaluation import run_offline_eval
+        from sparsebev_tpu.parallel import make_mesh
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        if mesh is not None:
+            logging.info("data-parallel eval over %d devices",
+                         len(jax.devices()))
+        metrics, results_per_sample = run_offline_eval(
+            model, variables, coder, dataset, loader, mesh=mesh)
 
     if args.out:
         format_nusc_submission(results_per_sample, dataset.classes, args.out)
         logging.info("wrote submission to %s", args.out)
 
-    if evaluator._num_samples > 0:
-        metrics = evaluator.evaluate()
+    if metrics is not None:
         logging.info("===== results =====")
         for k in ("NDS", "mAP", "mATE", "mASE", "mAOE", "mAVE", "mAAE"):
             logging.info("%s: %.4f", k, metrics[k])

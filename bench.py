@@ -4,9 +4,14 @@ r50_nuimg_704x256 model on one chip — the reference's headline speed metric
 
 Streaming semantics (reference models/sparsebev.py:255-321): per sample only
 the NEWEST frame's 6 views go through the backbone; the 7 history frames'
-features come from the cache. We model the cache as a rolling feature buffer
-carried through an in-jit loop — each iteration runs backbone-on-1-frame +
-the full 6-layer decoder, with a real data dependency between iterations.
+features come from the cache. TPU-native cache design: the decoder's grouped
+y-fold sampling tables live in a device-side ring (ops.msmv_sampling
+ring_update/ring_packed) — per sample the new frame is packed into one ring
+slot with a contiguous in-place dynamic_update_slice, and the decoder reads
+history through a [T]-slot indirection. History features are never copied
+or re-packed (the concat+repack formulation cost ~7 ms/sample of the 64 ms
+round-1 total). The in-jit loop carries the ring, so each iteration has a
+real data dependency on the previous one.
 
 Timing notes: through the axon tunnel a single host->device round trip costs
 ~30 ms, so per-call host timing lies; we run ITERS iterations inside one jit
@@ -15,6 +20,7 @@ and read back one scalar (see .claude/skills/verify/SKILL.md).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import time
 
@@ -23,6 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _build_model
+from sparsebev_tpu.ops.msmv_sampling import (ring_init, ring_packed,
+                                             ring_update)
 
 BASELINE_FPS = 15.8  # RTX 3090 fp32, reference README.md:28,36
 ITERS = 20
@@ -43,37 +51,42 @@ def main():
         jnp.tile(frame, (1, num_frames, 1, 1, 1)), lidar2img, time_diff,
         train=False)
 
-    extract = jax.jit(lambda v, img: model.apply(v, img, train=False,
-                                                 method=model.forward_features))
-    # feature cache: list of [1, T*6, H', W', C] pyramids, newest frame first
-    cache = extract(variables, jnp.tile(frame, (1, num_frames, 1, 1, 1)))
-    cache = jax.block_until_ready(cache)
+    pack = jax.jit(lambda v, img: model.apply(
+        v, img, train=False, method=model.forward_frame_packed))
+    fp0 = pack(variables, frame)
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)  # geometry only
+    ring = ring_init(fp0, num_frames, fp0.tables[0].dtype)
+    upd = jax.jit(ring_update, donate_argnums=(0,))
+    for s in range(num_frames):  # prefill so iteration 0 sees a full window
+        ring = upd(ring, fp0, jnp.int32(s))
+    ring = jax.block_until_ready(ring)
 
-    def one_sample(variables, cache, frame, lidar2img, time_diff):
-        new_feats = model.apply(variables, frame, train=False,
-                                method=model.forward_features)
-        cache = [
-            jnp.concatenate([nf, c[:, : (num_frames - 1) * 6]], axis=1)
-            for nf, c in zip(new_feats, cache)
-        ]
-        preds = model.apply(variables, cache, lidar2img, time_diff,
+    def one_sample(variables, ring, i, frame, lidar2img, time_diff):
+        fp = model.apply(variables, frame, train=False,
+                         method=model.forward_frame_packed)
+        ring = ring_update(ring, fp, jnp.mod(i, num_frames))
+        slots = jnp.mod(i - jnp.arange(num_frames, dtype=jnp.int32),
+                        num_frames)
+        packed = ring_packed(ring, slots, num_frames, meta)
+        preds = model.apply(variables, packed, lidar2img, time_diff,
                             h, w, method=model.forward_head)
-        return cache, preds
+        return ring, preds
 
-    @jax.jit
-    def bench_loop(variables, cache, frame, lidar2img, time_diff):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def bench_loop(variables, ring, frame, lidar2img, time_diff):
         def body(i, carry):
-            cache, acc = carry
-            cache, preds = one_sample(variables, cache, frame + i * 1e-3,
-                                      lidar2img, time_diff)
-            return cache, acc + preds["all_cls_scores"][-1].sum()
-        _, acc = jax.lax.fori_loop(0, ITERS, body, (cache, jnp.float32(0)))
-        return acc
+            ring, acc = carry
+            ring, preds = one_sample(variables, ring, i, frame + i * 1e-3,
+                                     lidar2img, time_diff)
+            return ring, acc + preds["all_cls_scores"][-1].sum()
+        return jax.lax.fori_loop(0, ITERS, body, (ring, jnp.float32(0)))
 
     # compile + warm
-    float(bench_loop(variables, cache, frame, lidar2img, time_diff))
+    ring, acc = bench_loop(variables, ring, frame, lidar2img, time_diff)
+    float(acc)
     t0 = time.perf_counter()
-    float(bench_loop(variables, cache, frame, lidar2img, time_diff))
+    ring, acc = bench_loop(variables, ring, frame, lidar2img, time_diff)
+    float(acc)
     dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt
 

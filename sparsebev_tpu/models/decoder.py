@@ -307,8 +307,13 @@ class SparseBEVTransformer(nn.Module):
         # the group split folds into the table build as a local permute —
         # see pack_mlvl_feats_grouped). Every layer's sampling gather reuses
         # the packed buffer (a per-layer pack costs a full feature copy).
-        from ..ops.msmv_sampling import pack_mlvl_feats_grouped
-        grouped = pack_mlvl_feats_grouped(mlvl_feats, n, g)
+        # Streaming callers pass PackedFeatures directly (a device-side ring
+        # updated once per sample — see ops.msmv_sampling.ring_update).
+        from ..ops.msmv_sampling import PackedFeatures, pack_mlvl_feats_grouped
+        if isinstance(mlvl_feats, PackedFeatures):
+            grouped = mlvl_feats
+        else:
+            grouped = pack_mlvl_feats_grouped(mlvl_feats, n, g)
 
         layer_cls = SparseBEVTransformerDecoderLayer
         if self.with_cp and not deterministic:

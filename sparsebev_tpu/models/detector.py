@@ -152,6 +152,15 @@ class SparseBEV(nn.Module):
         img = self.preprocess(img, train)
         return self.extract_feat(img, train)
 
+    def forward_frame_packed(self, img, train: bool = False):
+        """Extract ONE frame's pyramid and pack it into grouped y-fold
+        sampling tables (the streaming ring-cache unit of work — see
+        ops.msmv_sampling.ring_update). img: [B, 6, H, W, 3] raw BGR."""
+        from ..ops.msmv_sampling import pack_mlvl_feats_grouped
+        feats = self.forward_features(img, train)
+        return pack_mlvl_feats_grouped(feats, self.head.num_views,
+                                       self.head.num_groups)
+
     def forward_head(self, feats, lidar2img, time_diff, image_h, image_w):
         return self.head(feats, lidar2img, time_diff, image_h, image_w,
                          dn_inputs=None, deterministic=True)

@@ -93,7 +93,12 @@ class SparseBEVHead(nn.Module):
         Returns dict: all_cls_scores [L,B,Q,cls], all_bbox_preds [L,B,Q,10],
         and when denoising: dn_cls_scores/dn_bbox_preds [L,B,DN,...].
         """
-        b = mlvl_feats[0].shape[0]
+        from ..ops.msmv_sampling import PackedFeatures
+        if isinstance(mlvl_feats, PackedFeatures):
+            # streaming ring path: B' = B * T * G
+            b = mlvl_feats.batch // (self.num_frames * self.num_groups)
+        else:
+            b = mlvl_feats[0].shape[0]
         c = self.in_channels
 
         query_bbox = jnp.broadcast_to(self.init_query_bbox[None],

@@ -155,3 +155,45 @@ def test_grouped_pack_matches_generic(rng):
     for a_, b_ in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ring_cache_matches_full_pack(rng):
+    """Streaming ring semantics: per-frame packs written into permuted ring
+    slots + the slice_map indirection must sample identically to packing the
+    whole T-frame window at once (B=1, S > T exercises spare slots)."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        msmv_sampling, pack_mlvl_feats_grouped, ring_init, ring_packed,
+        ring_update)
+    t, n, g, cg = 3, 6, 2, 8
+    c = g * cg
+    q, p = 5, 4
+    num_slots = t + 2
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    loc = rng.rand(t * g, q, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(t * g, q, p, len(shapes)).astype(np.float32)
+
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+    want = msmv_sampling(pack_mlvl_feats_grouped(jf, n, g), jl, jw)
+
+    # frames land in ring slots out of order: logical frame i -> slot
+    slots_of_t = np.array([4, 0, 2], np.int32)
+    fp0 = pack_mlvl_feats_grouped([f[:, :n] for f in jf], n, g)
+    ring = ring_init(fp0, num_slots, jnp.float32)
+    for i in range(t):
+        fp = pack_mlvl_feats_grouped(
+            [f[:, i * n:(i + 1) * n] for f in jf], n, g)
+        ring = ring_update(ring, fp, jnp.int32(slots_of_t[i]))
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)
+    packed = ring_packed(ring, jnp.asarray(slots_of_t), t, meta)
+    got = msmv_sampling(packed, jl, jw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # jit boundary: PackedFeatures with slice_map crosses as a pytree
+    got_jit = jax.jit(msmv_sampling)(packed, jl, jw)
+    np.testing.assert_allclose(np.asarray(got_jit), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -90,12 +90,12 @@ def test_streaming_matches_offline(synth_ann):
     np.testing.assert_allclose(online["bboxes"], offline["bboxes"],
                                rtol=1e-3, atol=1e-3)
     # second call on the same sample: cache hits, same result
-    assert len(streaming.memory) == 2
+    assert len(streaming.slot_of_key) == 2
     online2 = jax.device_get(streaming.infer(
         np.asarray(batch["img"]), np.asarray(batch["lidar2img"]),
         np.asarray(batch["time_diff"]), fnames))
     np.testing.assert_allclose(online2["scores"], online["scores"], atol=1e-6)
-    assert len(streaming.memory) == 2  # nothing re-extracted
+    assert len(streaming.slot_of_key) == 2  # nothing re-extracted
 
 
 def test_multi_ann_file(synth_ann):

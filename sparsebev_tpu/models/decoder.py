@@ -322,27 +322,54 @@ class SparseBEVTransformer(nn.Module):
             # and the deterministic flag must stay static
             layer_cls = nn.remat(SparseBEVTransformerDecoderLayer,
                                  static_argnums=(7, 8, 9))
-        layer = layer_cls(
-            self.embed_dims, self.num_frames, self.num_points, self.num_levels,
-            self.num_classes, self.code_size, pc_range=self.pc_range,
-            num_groups=g, mixer_out_points=self.mixer_out_points,
-            num_views=n, dtype=self.dtype, name="decoder_layer")
+        layer_kwargs = dict(
+            embed_dims=self.embed_dims, num_frames=self.num_frames,
+            num_points=self.num_points, num_levels=self.num_levels,
+            num_classes=self.num_classes, code_size=self.code_size,
+            pc_range=self.pc_range, num_groups=g,
+            mixer_out_points=self.mixer_out_points, num_views=n,
+            dtype=self.dtype)
 
-        cls_scores, bbox_preds = [], []
-        for layer_idx in range(self.num_layers):
-            DUMP.stage_count = layer_idx
-            query_feat, cls_score, bbox_pred = layer(
-                query_bbox, query_feat, grouped, attn_mask,
-                lidar2img, time_diff, image_h, image_w,
-                deterministic)  # positional: static under nn.remat
-            if DUMP.enabled:  # per-stage intermediates (reference :185-191)
+        if DUMP.enabled:
+            # unrolled path: host-callback dumps need a concrete stage index
+            # at trace time (the viz tools consume per-stage artifacts)
+            layer = layer_cls(**layer_kwargs, name="decoder_layer")
+            cls_scores, bbox_preds = [], []
+            for layer_idx in range(self.num_layers):
+                DUMP.stage_count = layer_idx
+                query_feat, cls_score, bbox_pred = layer(
+                    query_bbox, query_feat, grouped, attn_mask,
+                    lidar2img, time_diff, image_h, image_w,
+                    deterministic)  # positional: static under nn.remat
                 dump_save("query_bbox", decode_bbox(query_bbox, self.pc_range))
                 dump_save("bbox_pred", decode_bbox(bbox_pred, self.pc_range))
                 dump_save("cls_score", jax.nn.sigmoid(cls_score))
-            query_bbox = jax.lax.stop_gradient(bbox_pred)
-            cls_scores.append(cls_score)
-            bbox_preds.append(bbox_pred)
+                query_bbox = jax.lax.stop_gradient(bbox_pred)
+                cls_scores.append(cls_score)
+                bbox_preds.append(bbox_pred)
+            cls_scores = jnp.stack(cls_scores)
+            bbox_preds = jnp.stack(bbox_preds)
+        else:
+            # the 6 iterations share ONE set of weights (reference :87-96),
+            # so roll them into a single traced body via nn.scan: the XLA
+            # program carries one decoder-layer program instead of six
+            # (multi-minute compiles at Q>=900 shrink ~4x; runtime identical)
+            def body(layer, carry, _):
+                query_bbox, query_feat = carry
+                query_feat, cls_score, bbox_pred = layer(
+                    query_bbox, query_feat, grouped, attn_mask,
+                    lidar2img, time_diff, image_h, image_w, deterministic)
+                new_bbox = jax.lax.stop_gradient(bbox_pred)
+                return (new_bbox, query_feat), (cls_score, bbox_pred)
 
-        cls_scores = jnp.nan_to_num(jnp.stack(cls_scores))
-        bbox_preds = jnp.nan_to_num(jnp.stack(bbox_preds))
+            scan = nn.scan(
+                body, variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                length=self.num_layers)
+            layer = layer_cls(**layer_kwargs, name="decoder_layer")
+            _, (cls_scores, bbox_preds) = scan(
+                layer, (query_bbox, query_feat), None)
+
+        cls_scores = jnp.nan_to_num(cls_scores)
+        bbox_preds = jnp.nan_to_num(bbox_preds)
         return cls_scores, bbox_preds

@@ -37,6 +37,7 @@ Implementations (all jit/vmap-safe, static shapes):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Union
 
 import jax
@@ -329,22 +330,37 @@ def msmv_sampling_reference(mlvl_feats: Sequence[jnp.ndarray],
     return out
 
 
-def _flat_point_geometry(packed: PackedFeatures, sampling_locations):
-    """Shared per-point geometry: flat x/y in [0,1], view row base."""
-    b, q, p, _ = sampling_locations.shape
+def _flat_point_geometry(packed: PackedFeatures, sampling_locations,
+                         qmajor: bool = False):
+    """Shared per-point geometry: flat x/y in [0,1], view row base.
+
+    Point order: ``[S, Q, P]`` (slice-major, default) or ``[Q, S, P]``
+    (query-major) — the latter lets the output reshape straight into the
+    decoder's mixing layout [B*Q, G, T*P, C] with no feature-domain
+    transpose (see sampling_4d)."""
+    if qmajor:
+        q, s, p, _ = sampling_locations.shape
+    else:
+        s, q, p, _ = sampling_locations.shape
     n = packed.num_views
-    k = b * q * p
+    k = s * q * p
     x = sampling_locations[..., 0].reshape(k)
     y = sampling_locations[..., 1].reshape(k)
     v = sampling_locations[..., 2].reshape(k)
     view = jnp.clip(jnp.round(v * (n - 1)).astype(jnp.int32), 0, n - 1)
-    slices = (jnp.arange(b, dtype=jnp.int32) if packed.slice_map is None
+    slices = (jnp.arange(s, dtype=jnp.int32) if packed.slice_map is None
               else packed.slice_map.astype(jnp.int32))
-    batch_row = jnp.repeat(slices, q * p, total_repeat_length=k)  # [K]
+    if qmajor:  # K = (q, s, p): tile the per-slice pattern over queries
+        batch_row = jnp.broadcast_to(
+            jnp.repeat(slices, p, total_repeat_length=s * p)[None],
+            (q, s * p)).reshape(k)
+    else:       # K = (s, q, p)
+        batch_row = jnp.repeat(slices, q * p, total_repeat_length=k)
     return x, y, view, batch_row, k
 
 
-def _msmv_halfrow(packed: PackedFeatures,
+def _msmv_halfrow(qmajor: bool,
+                  packed: PackedFeatures,
                   sampling_locations: jnp.ndarray,
                   scale_weights: jnp.ndarray) -> jnp.ndarray:
     """Two-indices-per-point formulation over the y-fold tables.
@@ -357,10 +373,11 @@ def _msmv_halfrow(packed: PackedFeatures,
     so the custom VJP below routes gradients here.
     """
     num_levels = len(packed.level_shapes)
-    b, q, p, _ = sampling_locations.shape
+    d0, d1, p, _ = sampling_locations.shape
     n = packed.num_views
     c = packed.channels
-    x, y, view, batch_row, k = _flat_point_geometry(packed, sampling_locations)
+    x, y, view, batch_row, k = _flat_point_geometry(
+        packed, sampling_locations, qmajor)
 
     out = jnp.zeros((k, c), jnp.float32)
     for lvl in range(num_levels):
@@ -375,22 +392,24 @@ def _msmv_halfrow(packed: PackedFeatures,
             g = jnp.take(flat, row + sx + slot, axis=0).astype(jnp.float32)
             g = g.reshape(k, 2, c)  # (y-half, C)
             out = out + (g * wy[..., None]).sum(1) * (wx * lw)[:, None]
-    return out.reshape(b, q, p, c)
+    return out.reshape(d0, d1, p, c)
 
 
-@jax.custom_vjp
-def _msmv_yfold(packed: PackedFeatures, sampling_locations, scale_weights):
-    return _yfold_forward(packed, sampling_locations, scale_weights)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msmv_yfold(qmajor: bool, packed: PackedFeatures, sampling_locations,
+                scale_weights):
+    return _yfold_forward(qmajor, packed, sampling_locations, scale_weights)
 
 
-def _msmv_yfold_fwd(packed, sampling_locations, scale_weights):
-    return (_yfold_forward(packed, sampling_locations, scale_weights),
+def _msmv_yfold_fwd(qmajor, packed, sampling_locations, scale_weights):
+    return (_yfold_forward(qmajor, packed, sampling_locations, scale_weights),
             (packed, sampling_locations, scale_weights))
 
 
-def _msmv_yfold_bwd(res, g):
+def _msmv_yfold_bwd(qmajor, res, g):
     packed, loc, sw = res
-    _, vjp = jax.vjp(_msmv_halfrow, packed, loc, sw)
+    _, vjp = jax.vjp(functools.partial(_msmv_halfrow, qmajor),
+                     packed, loc, sw)
     return vjp(g)
 
 
@@ -399,7 +418,8 @@ _msmv_yfold.defvjp(_msmv_yfold_fwd, _msmv_yfold_bwd)
 
 def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
                   sampling_locations: jnp.ndarray,
-                  scale_weights: jnp.ndarray) -> jnp.ndarray:
+                  scale_weights: jnp.ndarray,
+                  qmajor: bool = False) -> jnp.ndarray:
     """Production path.
 
     Equivalent to :func:`msmv_sampling_reference`; property-tested against it.
@@ -407,32 +427,49 @@ def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
     pack once per decoder forward, reuse across the 6 layers). Forward runs
     the y-fold window gather (or the hybrid MXU kernel when enabled);
     gradients route through the half-row formulation via a custom VJP.
+    ``qmajor``: locations/weights arrive [Q, S, P, ...] instead of
+    [S, Q, P, ...] and the output is [Q, S, P, C] (see
+    ``_flat_point_geometry``).
     """
     if not isinstance(mlvl_feats, PackedFeatures):
         mlvl_feats = pack_mlvl_feats(mlvl_feats)
     if not any(t is not None for t in mlvl_feats.mxu_tables):
-        return _msmv_yfold(mlvl_feats, sampling_locations, scale_weights)
+        return _msmv_yfold(qmajor, mlvl_feats, sampling_locations,
+                           scale_weights)
     # hybrid (inference-only) path
-    return _yfold_forward(mlvl_feats, sampling_locations, scale_weights)
+    assert not qmajor, "hybrid MXU impl supports slice-major order only"
+    return _yfold_forward(qmajor, mlvl_feats, sampling_locations,
+                          scale_weights)
 
 
-def _yfold_forward(mlvl_feats: PackedFeatures,
+def _yfold_forward(qmajor: bool,
+                   mlvl_feats: PackedFeatures,
                    sampling_locations: jnp.ndarray,
                    scale_weights: jnp.ndarray) -> jnp.ndarray:
     packed = mlvl_feats
     num_levels = len(packed.level_shapes)
     assert scale_weights.shape[-1] == num_levels
-    b, q, p, _ = sampling_locations.shape
+    d0, d1, p, _ = sampling_locations.shape
+    b, q = (d1, d0) if qmajor else (d0, d1)
     assert b == packed.batch
     n = packed.num_views
     c = packed.channels
-    x, y, view, batch_row, k = _flat_point_geometry(packed, sampling_locations)
+    x, y, view, batch_row, k = _flat_point_geometry(
+        packed, sampling_locations, qmajor)
 
     window_dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),
         start_index_map=(0, 1))
 
-    out = jnp.zeros((k, c), jnp.float32)
+    # accumulate across levels in the TABLE dtype: each per-level tap
+    # contraction still reduces in fp32 (preferred_element_type), but the
+    # [K, C] accumulator matches what the consumer (AdaptiveMixing) casts to
+    # anyway — at bf16 this halves accumulator traffic (~1 ms/sample at r50)
+    acc_dtype = packed.tables[0].dtype if packed.tables[0] is not None \
+        else jnp.float32
+    if acc_dtype not in (jnp.bfloat16, jnp.float32):
+        acc_dtype = jnp.float32
+    out = jnp.zeros((k, c), acc_dtype)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]
         x_pix = x * (w - 1)
@@ -472,7 +509,7 @@ def _yfold_forward(mlvl_feats: PackedFeatures,
                 wx0.reshape(b, kk), wx1.reshape(b, kk),
                 w=w, c=c,
                 interpret=jax.default_backend() == "cpu")
-            out = out + res.reshape(k, c)
+            out = out + res.reshape(k, c).astype(out.dtype)
             continue
 
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
@@ -488,8 +525,10 @@ def _yfold_forward(mlvl_feats: PackedFeatures,
                 * jnp.stack([wya, wyb], -1)[:, None, :])      # [K, 2, 2]
         w4 = (wmat * lw[:, None, None]).reshape(k, 4)         # fp32 weights
         # contraction over the 4 taps; einsum promotes the bf16 taps to fp32
-        # inside the fusion (no materialized [K, 4, C] fp32 intermediate)
+        # inside the fusion (no materialized [K, 4, C] fp32 intermediate);
+        # the result is cast back to acc_dtype within the same fusion
         out = out + jnp.einsum("ksc,ks->kc", g.reshape(k, 4, c), w4,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32
+                               ).astype(acc_dtype)
 
-    return out.reshape(b, q, p, c)  # [B, Q, P, C]
+    return out.reshape(d0, d1, p, c)  # [S, Q, P, C] or [Q, S, P, C]

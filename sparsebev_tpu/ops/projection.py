@@ -130,21 +130,47 @@ def sampling_4d(sample_points: jnp.ndarray,
         debug_out["sample_points_cam"] = loc
         debug_out["valid_mask"] = valid
 
-    # [B, T, Q, G*P, 3] -> [B*T*G, Q, P, 3]
-    loc = loc.reshape(b, t, q, g, p, 3)
-    loc = jnp.transpose(loc, (0, 1, 3, 2, 4, 5)).reshape(b * t * g, q, p, 3)
-
-    # [B, Q, G, T, P, L] -> [B*G*T, Q, P, L]  (reference fold order — see
-    # the module docstring for why this is (G, T) and not (T, G))
-    sw = jnp.transpose(scale_weights, (0, 2, 3, 1, 4, 5))
-    sw = sw.reshape(b * g * t, q, p, num_levels)
-
-    from .msmv_sampling import PackedFeatures
+    from .msmv_sampling import PackedFeatures, pack_mlvl_feats_grouped
     if not isinstance(mlvl_feats, PackedFeatures):
-        mlvl_feats = list(mlvl_feats)
-    final = msmv_sampling(mlvl_feats, loc, sw)  # [BTG, Q, P, C]
+        mlvl_feats = pack_mlvl_feats_grouped(list(mlvl_feats), n,
+                                             num_groups=1)
+
+    # QUERY-MAJOR point order (b, q, g, t, p): the sampled features then
+    # reshape straight into the mixing layout [B*Q, G, T*P, C] — no
+    # feature-domain 6D transpose (a ~30 MB relayout per decoder layer);
+    # the transposes happen on the 3-float locations / L-float weights.
+    # [B, T, Q, G, P, 3] -> [Q, B, G, T, P, 3] -> [Q, B*G*T, P, 3]
+    loc = loc.reshape(b, t, q, g, p, 3)
+    loc = jnp.transpose(loc, (2, 0, 3, 1, 4, 5)).reshape(q, b * g * t, p, 3)
+
+    # weight pairing preserves the reference's (B, G, T) fold quirk (module
+    # docstring): loc slice (g, t) — whose reference flat position within a
+    # sample is j = t*G + g — takes the weights at flat position j of the
+    # (G, T)-folded weights, i.e. sw[b, j // T, j % T].
+    jmat = (jnp.arange(t)[None, :] * g
+            + jnp.arange(g)[:, None])                 # [G, T]: j = t*G + g
+    swf = scale_weights.reshape(b, q, g * t, p, num_levels)
+    sw = jnp.take(swf, jmat.reshape(-1), axis=2)      # [B, Q, G*T, P, L]
+    sw = jnp.transpose(sw, (1, 0, 2, 3, 4)).reshape(q, b * g * t, p,
+                                                    num_levels)
+
+    # slice values for (b, g, t) point order: the packed slice space is
+    # (b, t, g)-ordered (g minor) regardless of how the tables were built,
+    # composed with any ring slot indirection
+    logical = ((jnp.arange(b, dtype=jnp.int32)[:, None, None] * t
+                + jnp.arange(t, dtype=jnp.int32)[None, None, :]) * g
+               + jnp.arange(g, dtype=jnp.int32)[None, :, None])  # [B, G, T]
+    logical = logical.reshape(b * g * t)
+    if mlvl_feats.slice_map is not None:
+        logical = jnp.take(mlvl_feats.slice_map, logical)
+    packed = PackedFeatures(
+        mlvl_feats.tables, b * g * t, mlvl_feats.num_views,
+        mlvl_feats.level_shapes, mlvl_feats.channels,
+        mxu_tables=mlvl_feats.mxu_tables, num_groups=mlvl_feats.num_groups,
+        slice_map=logical)
+
+    final = msmv_sampling(packed, loc, sw, qmajor=True)  # [Q, BGT, P, C]
 
     c = final.shape[-1]
-    final = final.reshape(b, t, g, q, p, c)
-    final = jnp.transpose(final, (0, 3, 2, 1, 4, 5))  # [B, Q, G, T, P, C]
-    return final.reshape(b, q, g, t * p, c)
+    final = final.reshape(q, b, g, t * p, c)
+    return jnp.transpose(final, (1, 0, 2, 3, 4))  # [B, Q, G, T*P, C]

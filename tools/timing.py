@@ -58,42 +58,53 @@ def main():
         {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
         jnp.tile(frame, (1, num_frames, 1, 1, 1)), l2i, td, train=False)
 
-    cache = jax.jit(lambda v, img: model.apply(
-        v, img, train=False, method=model.forward_features))(
-        variables, jnp.tile(frame, (1, num_frames, 1, 1, 1)))
+    from sparsebev_tpu.ops.msmv_sampling import (ring_init, ring_packed,
+                                                 ring_update)
 
-    pad = lambda x: x  # images already at final size
-    h, w = cache[0].shape[2] * 4, cache[0].shape[3] * 4  # stride-4 level
+    pack = jax.jit(lambda v, img: model.apply(
+        v, img, train=False, method=model.forward_frame_packed))
+    fp0 = pack(variables, frame)
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)
+    ring = ring_init(fp0, num_frames, fp0.tables[0].dtype)
+    upd = jax.jit(ring_update, donate_argnums=(0,))
+    for s in range(num_frames):
+        ring = upd(ring, fp0, jnp.int32(s))
 
-    def one_sample(variables, cache, frame):
-        feats = model.apply(variables, frame, train=False,
-                            method=model.forward_features)
-        cache = [jnp.concatenate([nf, c[:, :(num_frames - 1) * 6]], axis=1)
-                 for nf, c in zip(feats, cache)]
-        preds = model.apply(variables, cache, l2i, td, fh, fw,
+    def one_sample(variables, ring, i, frame):
+        fp = model.apply(variables, frame, train=False,
+                         method=model.forward_frame_packed)
+        ring = ring_update(ring, fp, jnp.mod(i, num_frames))
+        slots = jnp.mod(i - jnp.arange(num_frames, dtype=jnp.int32),
+                        num_frames)
+        packed = ring_packed(ring, slots, num_frames, meta)
+        preds = model.apply(variables, packed, l2i, td, fh, fw,
                             method=model.forward_head)
-        return cache, preds
+        return ring, preds
 
     def loop(n):
         @jax.jit
-        def run(variables, cache, frame):
+        def run(variables, ring, frame):
             def body(i, carry):
-                cache, acc = carry
-                cache, preds = one_sample(variables, cache, frame + i * 1e-3)
-                return cache, acc + preds["all_cls_scores"][-1].sum()
-            return jax.lax.fori_loop(0, n, body, (cache, jnp.float32(0)))[1]
+                ring, acc = carry
+                ring, preds = one_sample(variables, ring, i, frame + i * 1e-3)
+                return ring, acc + preds["all_cls_scores"][-1].sum()
+            return jax.lax.fori_loop(0, n, body, (ring, jnp.float32(0)))
         return run
 
     warm = loop(args.warmup)
     timed = loop(args.samples)
-    float(warm(variables, cache, frame))
-    float(timed(variables, cache, frame))  # compile
+    ring, acc = warm(variables, ring, frame)
+    float(acc)
+    ring, acc = timed(variables, ring, frame)  # compile
+    float(acc)
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
-            float(timed(variables, cache, frame))
+            ring, acc = timed(variables, ring, frame)
+            float(acc)
         logging.info("profiler trace written to %s", args.profile_dir)
     t0 = time.perf_counter()
-    float(timed(variables, cache, frame))
+    ring, acc = timed(variables, ring, frame)
+    float(acc)
     dt = (time.perf_counter() - t0) / args.samples
     fps = 1.0 / dt
     logging.info("latency: %.2f ms, FPS: %.2f", dt * 1e3, fps)

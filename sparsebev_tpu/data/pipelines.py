@@ -29,6 +29,23 @@ CAM_TYPES = [
 ]
 
 
+class LazyJPEG:
+    """Deferred-decode marker: when the native loader is available, the
+    decode is FUSED with RandomTransformImage's resize+crop+flip in C++
+    (csrc/fastloader.cpp sbtpu_load_batch — the TPU-host counterpart of the
+    reference's turbojpeg path, loaders/pipelines/loading.py:48-51), so raw
+    1600x900 pixels never materialize in Python."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _materialize(img):
+    return _imread_bgr(img.path) if isinstance(img, LazyJPEG) else img
+
+
 def _imread_bgr(path: str) -> np.ndarray:
     # native libjpeg decoder when built (make -C csrc); PIL fallback —
     # both sit on libjpeg, so pixels agree bit-for-bit
@@ -45,13 +62,34 @@ def _imread_bgr(path: str) -> np.ndarray:
 
 @PIPELINES.register_module()
 class LoadMultiViewImageFromFiles:
-    """Decode the 6 keyframe JPEGs (mm*-provided in the reference)."""
+    """Decode the 6 keyframe JPEGs (mm*-provided in the reference).
 
-    def __init__(self, to_float32: bool = False, color_type: str = "color"):
+    ``lazy="auto"``: defer JPEG decode to a downstream fused
+    RandomTransformImage when the native loader is built (decode still
+    happens here otherwise). Steps between the loaders and the transform
+    only touch annotations, never pixels."""
+
+    def __init__(self, to_float32: bool = False, color_type: str = "color",
+                 lazy: str = "auto"):
         self.to_float32 = to_float32
+        self.lazy = lazy
+
+    def _use_lazy(self, paths) -> bool:
+        if self.lazy in (False, "never"):
+            return False
+        from . import fastloader
+        return (fastloader.available()
+                and all(p.lower().endswith((".jpg", ".jpeg"))
+                        for p in paths))
 
     def __call__(self, results):
-        imgs = [_imread_bgr(p) for p in results["img_filename"]]
+        paths = results["img_filename"]
+        if self._use_lazy(paths):
+            results["img"] = [LazyJPEG(p) for p in paths]
+            results["_lazy_images"] = True
+            results["filename"] = list(paths)
+            return results
+        imgs = [_imread_bgr(p) for p in paths]
         if self.to_float32:
             imgs = [im.astype(np.float32) for im in imgs]
         results["img"] = imgs
@@ -70,7 +108,10 @@ class _SweepLoaderBase:
         for sensor in CAM_TYPES:
             cam = sweep[sensor]
             if load_images:
-                results["img"].append(_imread_bgr(cam["data_path"]))
+                results["img"].append(
+                    LazyJPEG(cam["data_path"])
+                    if results.get("_lazy_images")
+                    else _imread_bgr(cam["data_path"]))
             results["img_timestamp"].append(cam["timestamp"] / 1e6)
             results["filename"].append(os.path.relpath(cam["data_path"])
                                        if os.path.isabs(cam["data_path"])
@@ -298,17 +339,10 @@ class RandomTransformImage:
         return resize, dims, crop, flip, rotate
 
     @staticmethod
-    def img_transform(img, resize, resize_dims, crop, flip, rotate):
-        """PIL image op + matching 4x4 pixel homography (transforms.py:270-311)."""
-        from PIL import Image
+    def ida_matrix(resize, crop, flip, rotate):
+        """4x4 pixel homography of the image op (transforms.py:270-311)."""
         ida_rot = np.eye(2)
         ida_tran = np.zeros(2)
-
-        img = img.resize(resize_dims)
-        img = img.crop(crop)
-        if flip:
-            img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
-        img = img.rotate(rotate)
 
         ida_rot *= resize
         ida_tran -= np.asarray(crop[:2], dtype=np.float64)
@@ -328,16 +362,58 @@ class RandomTransformImage:
         ida_mat = np.eye(4)
         ida_mat[:2, :2] = ida_rot
         ida_mat[:2, 2] = ida_tran
-        return img, ida_mat.astype(np.float32)
+        return ida_mat.astype(np.float32)
+
+    @classmethod
+    def img_transform(cls, img, resize, resize_dims, crop, flip, rotate):
+        """PIL image op + matching 4x4 pixel homography (transforms.py:270-311)."""
+        from PIL import Image
+        img = img.resize(resize_dims)
+        img = img.crop(crop)
+        if flip:
+            img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
+        img = img.rotate(rotate)
+        return img, cls.ida_matrix(resize, crop, flip, rotate)
+
+    def _fused_transform(self, results, params):
+        """Decode+resize+crop+flip the whole T*6 batch in the native loader
+        (csrc/fastloader.cpp) — only when every image is a LazyJPEG, there is
+        no rotation, and the crop is in-bounds (PIL zero-pads out-of-bounds
+        crops; in-bounds always holds for the nuScenes ida_aug_conf ranges).
+        Returns True when the batch was handled."""
+        resize, resize_dims, crop, flip, rotate = params
+        imgs = results["img"]
+        if not imgs or not all(isinstance(im, LazyJPEG) for im in imgs):
+            return False
+        if rotate != 0:
+            return False
+        nw, nh = resize_dims
+        x0, y0, x1, y1 = crop
+        if x0 < 0 or y0 < 0 or x1 > nw or y1 > nh:
+            return False
+        from . import fastloader
+        batch = fastloader.load_batch(
+            [im.path for im in imgs], resize_dims,
+            (x0, y0, x1 - x0, y1 - y0), flip)
+        if batch is None:
+            return False
+        results["img"] = list(batch)
+        return True
 
     def __call__(self, results):
         from PIL import Image
         params = self.sample_augmentation()
         ida_mat = None
-        for i in range(len(results["img"])):
-            img = Image.fromarray(np.uint8(results["img"][i]))
-            img, ida_mat = self.img_transform(img, *params)
-            results["img"][i] = np.array(img).astype(np.uint8)
+        if self._fused_transform(results, params):
+            resize, _, crop, flip, rotate = params
+            ida_mat = self.ida_matrix(resize, crop, flip, rotate)
+        else:
+            for i in range(len(results["img"])):
+                img = Image.fromarray(
+                    np.uint8(_materialize(results["img"][i])))
+                img, ida_mat = self.img_transform(img, *params)
+                results["img"][i] = np.array(img).astype(np.uint8)
+        results.pop("_lazy_images", None)
         if ida_mat is not None:
             for i in range(len(results["lidar2img"])):
                 results["lidar2img"][i] = ida_mat @ results["lidar2img"][i]
@@ -462,8 +538,12 @@ class DefaultFormatBundle3D:
         self.with_label = with_label
 
     def __call__(self, results):
+        # images keep their native dtype (uint8 after RandomTransformImage):
+        # the detector casts on DEVICE, so the host->device transfer moves
+        # 4x fewer bytes than a float32 stack (the reference normalizes on
+        # GPU for the same reason, models/sparsebev.py:72-95)
         results["img"] = np.stack(
-            [im.astype(np.float32) for im in results["img"]])  # [TN, H, W, 3]
+            [_materialize(im) for im in results["img"]])  # [TN, H, W, 3]
         results["lidar2img"] = np.stack(
             [np.asarray(m, np.float32) for m in results["lidar2img"]])
         results["img_timestamp"] = np.asarray(results["img_timestamp"],

@@ -75,12 +75,13 @@ class StreamingDetector:
                 return self.slot_of_key.pop(victim)
         raise RuntimeError("ring cache smaller than the frame window")
 
-    def _ensure_frame(self, key: str, frame_imgs: jnp.ndarray,
+    def _ensure_frame(self, key: str, frame_imgs_fn,
                       protected) -> int:
-        """frame_imgs: [1, 6, H, W, 3]. Returns the frame's ring slot."""
+        """frame_imgs_fn: () -> [1, 6, H, W, 3] device array (lazy, so a
+        cache hit uploads nothing). Returns the frame's ring slot."""
         if key in self.slot_of_key:
             return self.slot_of_key[key]
-        fp = self._pack_frame(self.variables, frame_imgs)
+        fp = self._pack_frame(self.variables, frame_imgs_fn())
         if self.ring is None:
             # geometry-only copy (aux metadata survives tree_map; the
             # single-frame table buffers themselves are not retained)
@@ -94,18 +95,32 @@ class StreamingDetector:
 
     def infer(self, img: np.ndarray, lidar2img: np.ndarray,
               time_diff: np.ndarray, filenames: List[str]):
-        """img: [1, T*6, H, W, 3]; filenames: per-view file names (frame i is
-        identified by its first view's name, reference :282-284)."""
+        """img: [1, F*6, H, W, 3]; filenames: per-view file names (frame i is
+        identified by its first view's name, reference :282-284). Under the
+        loader's ``load_online`` FPS mode (reference loading.py:103-144) the
+        pipeline skips decoding history frames, so F < T and every
+        pixel-less frame MUST already be cached."""
         n = self.num_views
-        t = img.shape[1] // n
+        frames_with_pixels = img.shape[1] // n
+        t = len(filenames) // n if filenames else frames_with_pixels
         h, w = img.shape[2], img.shape[3]
-        img = jnp.asarray(img)
+        img = np.asarray(img)  # stay on host: upload ONLY uncached frames
 
         keys = [filenames[i * n] if filenames else f"frame_{i}"
                 for i in range(t)]
         protected = set(keys)
-        slots = [self._ensure_frame(keys[i], img[:, i * n:(i + 1) * n],
-                                    protected)
+
+        def upload(i):
+            def fn():
+                if i >= frames_with_pixels:
+                    raise RuntimeError(
+                        f"history frame {i} ({keys[i]}) is not cached and "
+                        "its pixels were skipped by load_online")
+                return jnp.asarray(
+                    np.ascontiguousarray(img[:, i * n:(i + 1) * n]))
+            return fn
+
+        slots = [self._ensure_frame(keys[i], upload(i), protected)
                  for i in range(t)]
 
         return self._head(self.variables, self.ring,

@@ -68,8 +68,11 @@ class SparseBEV(nn.Module):
     def preprocess(self, img: jnp.ndarray, train: bool) -> jnp.ndarray:
         """GPU-side color aug + BGR->RGB + normalize (sparsebev.py:72-95).
 
-        img: [B, TN, H, W, 3] raw BGR float [0, 255].
+        img: [B, TN, H, W, 3] raw BGR [0, 255] — uint8 straight from the
+        loader (4x cheaper host->device) or float32.
         """
+        if not jnp.issubdtype(img.dtype, jnp.floating):
+            img = img.astype(jnp.float32)
         b, tn, h, w, _ = img.shape
         flat = img.reshape(b * tn, h, w, 3)
         aug = self.data_aug or {}

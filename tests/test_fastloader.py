@@ -62,3 +62,43 @@ def test_pipeline_uses_native(jpegs):
     got = _imread_bgr(jpegs[0])
     want = np.asarray(Image.open(jpegs[0]).convert("RGB"))[..., ::-1]
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_fused_transform_matches_pil_path(jpegs):
+    """lazy decode + fused C++ resize/crop/flip == eager PIL path (within
+    the resize-filter tolerance above); the ida homography must be equal."""
+    from sparsebev_tpu.data.pipelines import (LoadMultiViewImageFromFiles,
+                                              RandomTransformImage)
+    conf = dict(H=48, W=64, final_dim=(24, 48), resize_lim=(0.7, 0.8),
+                bot_pct_lim=(0.0, 0.0), rot_lim=(0.0, 0.0), rand_flip=False)
+
+    def run(lazy):
+        results = {"img_filename": list(jpegs)}
+        results = LoadMultiViewImageFromFiles(lazy=lazy)(results)
+        results["lidar2img"] = [np.eye(4, dtype=np.float32)
+                                for _ in jpegs]
+        tr = RandomTransformImage(ida_aug_conf=conf, training=False)
+        return tr(results)
+
+    fused = run("auto")
+    eager = run("never")
+    assert all(isinstance(im, np.ndarray) for im in fused["img"])
+    for a, b in zip(fused["img"], eager["img"]):
+        assert a.shape == b.shape == (24, 48, 3)
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert np.median(diff) <= 2 and diff.mean() < 6
+    for a, b in zip(fused["lidar2img"], eager["lidar2img"]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_lazy_images_materialize_without_transform(jpegs):
+    """A lazy load not followed by RandomTransformImage must still produce
+    pixel arrays at formatting time (defensive materialization)."""
+    from sparsebev_tpu.data.pipelines import (DefaultFormatBundle3D,
+                                              LoadMultiViewImageFromFiles)
+    results = {"img_filename": list(jpegs)}
+    results = LoadMultiViewImageFromFiles(lazy="auto")(results)
+    results["lidar2img"] = [np.eye(4, dtype=np.float32) for _ in jpegs]
+    results["img_timestamp"] = [0.0] * len(jpegs)
+    out = DefaultFormatBundle3D()(results)
+    assert out["img"].shape == (4, 48, 64, 3)

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: fused AdaptiveMixing core.
+
+The decoder's adaptive mixing (reference models/sparsebev_transformer.py:
+320-387) is, per query q and group g:
+
+    h1 = relu(LN2d(x[q,g] @ m[q,g]))        x: [P, C], m: [C, C]
+    out = relu(LN2d(s[q,g] @ h1))           s: [O, P] -> out: [O, C]
+
+with LN2d = parameter-free layer norm over BOTH trailing dims (fp32 stats).
+As XLA einsums this chain is layout-bound inside the decoder scan (~4.2
+ms/sample at r50-900q, of which the matmuls are ~0.8 ms). This kernel runs
+the chain VMEM-resident per query block — one HBM read of x/m/s, one write
+of the output, zero intermediate traffic.
+
+EXPERIMENTAL — NOT wired into the decoder: see the STATUS note in
+_mixing_kernel (the only formulation the Mosaic compiler accepts today is
+latency-bound at 3.8 ms; batched formulations are rejected or crash the
+compiler). Kept with its measured diagnosis, like ops/msmv_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mixing_kernel(x_ref, m_ref, s_ref, o_ref, *, eps):
+    # Per-(bq*g) loop of small dots. STATUS (v5e, 2026-08-16): compiles and
+    # is exact, but the 3600 sequential [32,64]@[64,64] / [128,32]@[32,64]
+    # dots with a full-reduce LN between them are latency-bound: 3.8 ms vs
+    # XLA's 1.2 ms standalone (and ~4.2 ms in-decoder incl. layout copies).
+    # Batched alternatives hit compiler walls: dot_general with 2 batch dims
+    # is rejected ("Up to 1 batch dim supported"); with the (bq, g) batch
+    # folded to ONE leading dim the Mosaic compiler CRASHES
+    # (layout.h:320 Check failed: arr.size() >= layout_rank). Not wired into
+    # the decoder until one of those lowers properly.
+    blk = x_ref.shape[0]
+    for b in range(blk):
+        xb = x_ref[b]                      # [P, C]
+        h1 = jnp.dot(xb, m_ref[b], preferred_element_type=jnp.float32)
+        mu = jnp.mean(h1)
+        var = jnp.mean(jnp.square(h1 - mu))
+        h1 = jnp.maximum((h1 - mu) * jax.lax.rsqrt(var + eps), 0.0)
+        h2 = jnp.dot(s_ref[b], h1.astype(xb.dtype),
+                     preferred_element_type=jnp.float32)
+        mu2 = jnp.mean(h2)
+        var2 = jnp.mean(jnp.square(h2 - mu2))
+        h2 = jnp.maximum((h2 - mu2) * jax.lax.rsqrt(var2 + eps), 0.0)
+        o_ref[b] = h2.astype(o_ref.dtype)
+
+
+def mixing_core_tpu(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
+                    eps: float = 1e-5, bq_blk: int = 12,
+                    interpret: bool = False) -> jnp.ndarray:
+    """x: [BQ, G, P, C]; m: [BQ, G, C, C]; s: [BQ, G, O, P] ->
+    [BQ, G, O, C] (dtype of x). BQ is padded to a bq_blk multiple."""
+    bq, g, p, c = x.shape
+    o = s.shape[2]
+    blk = bq_blk * g
+    x = x.reshape(bq * g, p, c)
+    m = m.reshape(bq * g, c, c)
+    s = s.reshape(bq * g, o, p)
+    pad = (-(bq * g)) % blk
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        m = jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
+        s = jnp.pad(s, ((0, pad), (0, 0), (0, 0)))
+    n = bq * g + pad
+    kernel = functools.partial(_mixing_kernel, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, o, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, o, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, o, c), x.dtype),
+        interpret=interpret,
+    )(x, m, s)
+    return out[:bq * g].reshape(bq, g, o, c)
+
+
+def _mixing_core_xla(x, m, s, eps=1e-5):
+    """Reference XLA formulation (bwd primal + CPU fallback)."""
+    def ln2(t):
+        t32 = t.astype(jnp.float32)
+        axes = (t.ndim - 2, t.ndim - 1)
+        mu = jnp.mean(t32, axis=axes, keepdims=True)
+        var = jnp.var(t32, axis=axes, keepdims=True)
+        return (t32 - mu) * jax.lax.rsqrt(var + eps)
+    h1 = jnp.einsum("bgpc,bgcd->bgpd", x, m,
+                    preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(ln2(h1), 0.0).astype(x.dtype)
+    h2 = jnp.einsum("bgop,bgpc->bgoc", s, h1,
+                    preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(ln2(h2), 0.0)
+    return h2.astype(x.dtype)
+
+
+@jax.custom_vjp
+def mixing_core(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    if jax.default_backend() == "tpu":
+        return mixing_core_tpu(x, m, s)
+    return _mixing_core_xla(x, m, s)
+
+
+def _mixing_core_fwd(x, m, s):
+    return mixing_core(x, m, s), (x, m, s)
+
+
+def _mixing_core_bwd(res, g):
+    x, m, s = res
+    _, vjp = jax.vjp(_mixing_core_xla, x, m, s)
+    return vjp(g.astype(x.dtype))
+
+
+mixing_core.defvjp(_mixing_core_fwd, _mixing_core_bwd)

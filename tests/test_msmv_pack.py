@@ -30,3 +30,25 @@ def test_pack_vjp_matches_xla(rng):
     gb = jax.grad(loss_xla)(feat)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mixing_pallas_interpret_matches_xla(rng):
+    """Experimental fused-mixing kernel (ops/mixing_pallas.py): the
+    interpret-mode kernel must equal the XLA formulation exactly, including
+    the bq padding path; grads flow through the XLA bwd of the custom_vjp."""
+    import jax
+    import jax.numpy as jnp
+    from sparsebev_tpu.ops.mixing_pallas import (_mixing_core_xla,
+                                                 mixing_core,
+                                                 mixing_core_tpu)
+    bq, g, p, c, o = 21, 4, 32, 64, 128  # 21*4 exercises block padding
+    x = jnp.asarray(rng.randn(bq, g, p, c).astype(np.float32))
+    m = jnp.asarray(rng.randn(bq, g, c, c).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.randn(bq, g, o, p).astype(np.float32) * 0.1)
+    a = mixing_core_tpu(x, m, s, interpret=True)
+    b = _mixing_core_xla(x, m, s)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    grads = jax.grad(lambda *t: mixing_core(*t).sum(), argnums=(0, 1, 2))(
+        x, m, s)
+    assert all(bool(jnp.isfinite(t).all()) for t in grads)

@@ -31,11 +31,15 @@ from .ops.msmv_sampling import ring_init, ring_packed, ring_update
 
 class StreamingDetector:
     def __init__(self, model, variables, num_frames: int, coder=None,
-                 cache_size: int = 16, num_views: int = 6):
+                 cache_size: int = 16, num_views: int = 6, mesh=None):
+        """``mesh``: optional device mesh with a "q" axis — the decoder then
+        runs query-sharded over all its devices (parallel/query_parallel.py),
+        dividing the sampling-gather latency by the mesh size."""
         self.model = model
         self.variables = variables
         self.num_frames = num_frames
         self.num_views = num_views
+        self.mesh = mesh
         self.coder = coder
         self.cache_size = max(cache_size, num_frames)
         # filename -> ring slot, insertion-ordered (FIFO evict, reference
@@ -54,11 +58,15 @@ class StreamingDetector:
 
     def _build_head(self):
         model, coder, meta, t = self.model, self.coder, self._meta, self.num_frames
+        mesh = self.mesh
 
         def _head(v, ring, slots_of_t, lidar2img, time_diff, image_h, image_w):
             packed = ring_packed(ring, slots_of_t, t, meta)
             preds = model.apply(v, packed, lidar2img, time_diff,
                                 image_h, image_w, method=model.forward_head)
+            if mesh is not None:
+                from .parallel.query_parallel import constrain_preds
+                preds = constrain_preds(preds, mesh)
             if coder is not None:
                 return coder.decode(preds)
             return preds

@@ -37,6 +37,10 @@ def parse_args():
                              "~MB/s uploads) dominates; on a local TPU host "
                              "this converges to the in-jit number.")
     parser.add_argument("--e2e-samples", type=int, default=8)
+    parser.add_argument("--shard-queries", action="store_true",
+                        help="query-sharded decoder over ALL visible devices "
+                             "(parallel/query_parallel.py): divides the "
+                             "sampling-gather latency by the device count")
     return parser.parse_args()
 
 
@@ -129,6 +133,13 @@ def main():
     for s in range(num_frames):
         ring = upd(ring, fp0, jnp.int32(s))
 
+    mesh = None
+    if args.shard_queries:
+        from jax.sharding import Mesh
+        from sparsebev_tpu.parallel.query_parallel import QUERY_AXIS
+        mesh = Mesh(np.asarray(jax.devices()), (QUERY_AXIS,))
+        logging.info("query-sharding the decoder over %d devices", mesh.size)
+
     def one_sample(variables, ring, i, frame):
         fp = model.apply(variables, frame, train=False,
                          method=model.forward_frame_packed)
@@ -138,6 +149,9 @@ def main():
         packed = ring_packed(ring, slots, num_frames, meta)
         preds = model.apply(variables, packed, l2i, td, fh, fw,
                             method=model.forward_head)
+        if mesh is not None:
+            from sparsebev_tpu.parallel.query_parallel import constrain_preds
+            preds = constrain_preds(preds, mesh)
         return ring, preds
 
     def loop(n):

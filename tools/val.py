@@ -22,6 +22,9 @@ def parse_args():
     parser.add_argument("--limit", type=int, default=None,
                         help="evaluate only the first N samples")
     parser.add_argument("--out", default=None, help="submission json path")
+    parser.add_argument("--shard-queries", action="store_true",
+                        help="with --online: query-shard the decoder over "
+                             "all devices (parallel/query_parallel.py)")
     parser.add_argument("--online", action="store_true",
                         help="streaming eval with the per-frame feature cache "
                              "(reference simple_test_online; requires "
@@ -79,9 +82,16 @@ def main():
     if args.online:
         assert args.batch_size == 1, "--online requires --batch-size 1"
         from sparsebev_tpu.inference import StreamingDetector
+        mesh = None
+        if args.shard_queries:
+            import numpy as _np
+            from jax.sharding import Mesh
+            from sparsebev_tpu.parallel.query_parallel import QUERY_AXIS
+            mesh = Mesh(_np.asarray(jax.devices()), (QUERY_AXIS,))
         streaming = StreamingDetector(
             model, variables,
-            num_frames=cfg.model["pts_bbox_head"]["num_frames"], coder=coder)
+            num_frames=cfg.model["pts_bbox_head"]["num_frames"], coder=coder,
+            mesh=mesh)
 
     if streaming is not None:
         evaluator = NuScenesDetectionEvaluator(classes=dataset.classes)

@@ -63,8 +63,15 @@ def pack_level_tpu(feat: jnp.ndarray, num_groups: int,
     g = num_groups
     cg = c // g
     assert c % g == 0
+    # block height: largest divisor of h whose working set (2 input blocks +
+    # 1 output block, double-buffered by the pipeline) fits in scoped VMEM.
+    # A fixed bh=16 OOMs at r101 scale (w=352: 23 MB > the 16 MB limit).
+    itemsize = jnp.dtype(feat.dtype).itemsize
+    per_row = (2 * w * c + g * (w + 1) * 2 * cg) * itemsize
     bh = min(h, 16)
-    assert h % bh == 0
+    while bh > 1 and (per_row * bh * 2 > 12 * 1024 * 1024 or h % bh):
+        bh //= 2
+    assert h % bh == 0, (h, bh)
     nhb = h // bh
 
     kernel = functools.partial(_pack_kernel, bh=bh, w=w, cg=cg, groups=g,

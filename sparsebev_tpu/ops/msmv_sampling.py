@@ -392,7 +392,14 @@ def _msmv_halfrow(qmajor: bool,
             g = jnp.take(flat, row + sx + slot, axis=0).astype(jnp.float32)
             g = g.reshape(k, 2, c)  # (y-half, C)
             out = out + (g * wy[..., None]).sum(1) * (wx * lw)[:, None]
-    return out.reshape(d0, d1, p, c)
+    # output dtype must MATCH _yfold_forward's (this function is the custom
+    # VJP's primal stand-in — a dtype mismatch breaks jax.vjp cotangents;
+    # internal math stays fp32 either way)
+    acc_dtype = packed.tables[0].dtype if packed.tables[0] is not None \
+        else jnp.float32
+    if acc_dtype not in (jnp.bfloat16, jnp.float32):
+        acc_dtype = jnp.float32
+    return out.reshape(d0, d1, p, c).astype(acc_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

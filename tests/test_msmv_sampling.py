@@ -200,3 +200,18 @@ def test_ring_cache_matches_full_pack(rng):
     got_jit = jax.jit(msmv_sampling)(packed, jl, jw)
     np.testing.assert_allclose(np.asarray(got_jit), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_bf16_tables(rng):
+    """Regression: with bf16 tables the forward emits bf16; the custom VJP's
+    halfrow primal must emit the SAME dtype or jax.vjp rejects the cotangent
+    (caught live on TPU where the decoder packs bf16 tables)."""
+    feats, loc, w = _make_inputs(rng)
+    jf = [jnp.asarray(f, dtype=jnp.bfloat16) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(w)
+
+    def loss(l_, w_):
+        return msmv_sampling(jf, l_, w_).astype(jnp.float32).sum()
+
+    gl, gw = jax.grad(loss, argnums=(0, 1))(jl, jw)
+    assert bool(jnp.isfinite(gl).all()) and bool(jnp.isfinite(gw).all())

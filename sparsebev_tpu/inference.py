@@ -29,6 +29,65 @@ import numpy as np
 from .ops.msmv_sampling import ring_init, ring_packed, ring_update
 
 
+def init_streaming_variables(model, frame, lidar2img, time_diff,
+                             image_h: int, image_w: int, seed: int = 0):
+    """Initialize model variables WITHOUT a full T-frame forward.
+
+    A plain ``model.init`` runs the backbone on all T*6 views at once —
+    at 1600x640 T=15 that alone OOMs a 16 GB chip (90 ViT-L views of
+    activations). Streaming never does that: the backbone sees one frame,
+    the head reads packed tables. So init the same way: backbone+neck via
+    ``forward_frame_packed`` on ONE real frame, head via ``forward_head`` on
+    a TINY dummy packed pyramid (head params are independent of feature map
+    sizes), and merge the trees.
+
+    frame: [1, 6, H, W, 3]; lidar2img [1, T*6, 4, 4]; time_diff [1, T].
+    """
+    head = model.head if hasattr(model, "head") else None
+    # model may be un-bound (setup not run); read the config dict instead
+    head_cfg = model.pts_bbox_head
+    g = head_cfg.get("num_groups", 4)
+    c = head_cfg["in_channels"]
+    num_levels = head_cfg.get("num_levels", 4)
+    num_frames = head_cfg.get("num_frames", 8)
+    num_views = head_cfg.get("num_views", 6)
+    yfold = head_cfg.get("table_yfold", True)
+    del head
+
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "aug": jax.random.PRNGKey(seed + 1)}
+    bb_vars = jax.jit(lambda r, f: model.init(
+        r, f, train=False, method=model.forward_frame_packed))(rngs, frame)
+
+    from .ops.msmv_sampling import PackedFeatures
+    cg = c // g
+    ch = (2 if yfold else 1) * cg
+    shapes = []
+    h0, w0 = 8, 8
+    tables = []
+    for lvl in range(num_levels):
+        h_l, w_l = max(h0 >> lvl, 1), max(w0 >> lvl, 1)
+        shapes.append((h_l, w_l))
+        tables.append(jnp.zeros(
+            (num_frames * num_views * h_l * g, w_l + 1, ch), jnp.float32))
+    dummy = PackedFeatures(tuple(tables), num_frames * g, num_views,
+                           tuple(shapes), cg, num_groups=g, yfold=yfold)
+    head_vars = jax.jit(lambda r, d, l, t: model.init(
+        r, d, l, t, image_h, image_w, method=model.forward_head))(
+        rngs, dummy, lidar2img, time_diff)
+
+    params = dict(bb_vars["params"])
+    params.update(head_vars["params"])
+    out = {"params": params}
+    for k in set(bb_vars) | set(head_vars):
+        if k == "params":
+            continue
+        merged = dict(bb_vars.get(k, {}))
+        merged.update(head_vars.get(k, {}))
+        out[k] = merged
+    return out
+
+
 class StreamingDetector:
     def __init__(self, model, variables, num_frames: int, coder=None,
                  cache_size: int = 16, num_views: int = 6, mesh=None):

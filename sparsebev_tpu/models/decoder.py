@@ -120,8 +120,13 @@ class SparseBEVSampling(nn.Module):
             dump_save("sample_points_cam", loc)
             dump_save("sample_points_cam_valid_mask", valid)
 
-        return sampling_4d(pts, mlvl_feats, sw, lidar2img, image_h, image_w,
-                           num_views=self.num_views)  # [B, Q, G, T*P, C/G]
+        sampled = sampling_4d(pts, mlvl_feats, sw, lidar2img, image_h,
+                              image_w, num_views=self.num_views)
+        # named so the remat policy can SAVE it: re-running the sampling
+        # gathers in the backward replay costs ~25 ms/step at r50 scale for
+        # ~100 MB of bf16 activations kept
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(sampled, "sampled_feats")  # [B,Q,G,T*P,C/G]
 
 
 class AdaptiveMixing(nn.Module):
@@ -289,6 +294,10 @@ class SparseBEVTransformer(nn.Module):
     with_cp: bool = True  # remat each decoder layer in training (the
     # reference checkpoints SASA/sampling/mixing,
     # models/sparsebev_transformer.py:230-234,313-317,383-387)
+    # y-fold sampling tables (fast, 2x feature memory) vs plain pair tables
+    # (1x memory, 2x gather indices) — the 1600x640 T=15 configs need the
+    # memory mode to fit 16 GB HBM (see ops.msmv_sampling.PackedFeatures)
+    table_yfold: bool = True
 
     @nn.compact
     def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,
@@ -313,15 +322,21 @@ class SparseBEVTransformer(nn.Module):
         if isinstance(mlvl_feats, PackedFeatures):
             grouped = mlvl_feats
         else:
-            grouped = pack_mlvl_feats_grouped(mlvl_feats, n, g)
+            grouped = pack_mlvl_feats_grouped(mlvl_feats, n, g,
+                                              yfold=self.table_yfold)
 
         layer_cls = SparseBEVTransformerDecoderLayer
         if self.with_cp and not deterministic:
             # rematerialize each layer's activations in backward (the decoder
             # dominates activation memory at Q=900-1600, T=8-15); image size
-            # and the deterministic flag must stay static
-            layer_cls = nn.remat(SparseBEVTransformerDecoderLayer,
-                                 static_argnums=(7, 8, 9))
+            # and the deterministic flag must stay static. The sampled
+            # features are exempted from recomputation (checkpoint_name
+            # above) — the gathers are the one fwd op that is expensive to
+            # replay and cheap to keep.
+            layer_cls = nn.remat(
+                SparseBEVTransformerDecoderLayer, static_argnums=(7, 8, 9),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "sampled_feats"))
         layer_kwargs = dict(
             embed_dims=self.embed_dims, num_frames=self.num_frames,
             num_points=self.num_points, num_levels=self.num_levels,

@@ -162,7 +162,8 @@ class SparseBEV(nn.Module):
         from ..ops.msmv_sampling import pack_mlvl_feats_grouped
         feats = self.forward_features(img, train)
         return pack_mlvl_feats_grouped(feats, self.head.num_views,
-                                       self.head.num_groups)
+                                       self.head.num_groups,
+                                       yfold=self.head.table_yfold)
 
     def forward_head(self, feats, lidar2img, time_diff, image_h, image_w):
         return self.head(feats, lidar2img, time_diff, image_h, image_w,

@@ -144,12 +144,34 @@ class SwiGLU(nn.Module):
         return Linear(self.out, name="w3")(h)
 
 
+def _chunked_attention(q, k, v, chunk: int = 512):
+    """Exact attention with the query axis processed in sequential chunks.
+
+    Softmax normalizes over the KEY axis, so query chunking changes nothing
+    numerically — but it bounds the [B, heads, Nq, Nk] score buffer to one
+    chunk. The global blocks of the 1600x640 EVA02 config attend over
+    N=4000 tokens x 6 views: unchunked that is a 3.1 GB bf16 score tensor
+    per block (the final 3.4 GB of a 19 GB HBM OOM); chunked it is ~0.4 GB.
+    """
+    b, n, h, hd = q.shape
+    pad = (-n) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qc = jnp.moveaxis(
+        qp.reshape(b, (n + pad) // chunk, chunk, h, hd), 1, 0)
+    out = jax.lax.map(lambda qb: jax.nn.dot_product_attention(qb, k, v), qc)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, n + pad, h, hd)
+    return out[:, :n]
+
+
 class EvaAttention(nn.Module):
     """Separate q/k/v projections; q and v carry bias, k does not; RoPE on
     q, k per head (reference vit.py:61-124)."""
 
     dim: int
     num_heads: int
+    # chunk the query axis when the token count exceeds this (exact; see
+    # _chunked_attention). Windowed blocks stay on the fused path.
+    chunk_above: int = 2048
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin):
@@ -169,7 +191,10 @@ class EvaAttention(nn.Module):
         q = apply_rope(q, rope_cos, rope_sin).astype(v.dtype)
         k = apply_rope(k, rope_cos, rope_sin).astype(v.dtype)
 
-        out = jax.nn.dot_product_attention(q, k, v)  # [B, N, heads, hd]
+        if n > self.chunk_above:
+            out = _chunked_attention(q, k, v)        # [B, N, heads, hd]
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(b, n, self.dim)
         out = Linear(self.dim, name="proj")(out)
         return out.reshape(b, h, w, self.dim)

@@ -64,6 +64,8 @@ class SparseBEVHead(nn.Module):
     # decoder compute dtype (params stay fp32; geometry/softmax stay fp32) —
     # mirrors the reference's fp16 autocast over the head (sparsebev.py:313)
     compute_dtype: Optional[jnp.dtype] = None
+    # sampling-table memory mode (see decoder.SparseBEVTransformer)
+    table_yfold: bool = True
 
     def setup(self):
         c = self.in_channels
@@ -80,7 +82,8 @@ class SparseBEVHead(nn.Module):
             num_classes=self.num_classes, code_size=self.code_size,
             pc_range=self.pc_range, num_groups=self.num_groups,
             mixer_out_points=self.mixer_out_points, num_views=self.num_views,
-            dtype=self.compute_dtype, name="transformer")
+            dtype=self.compute_dtype, table_yfold=self.table_yfold,
+            name="transformer")
 
     def __call__(self, mlvl_feats, lidar2img, time_diff, image_h, image_w,
                  dn_inputs: Optional[dict] = None, deterministic: bool = True):

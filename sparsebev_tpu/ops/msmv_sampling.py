@@ -83,7 +83,7 @@ class PackedFeatures:
     """
 
     def __init__(self, tables, batch, num_views, level_shapes, channels,
-                 mxu_tables=(), num_groups=1, slice_map=None):
+                 mxu_tables=(), num_groups=1, slice_map=None, yfold=True):
         self.tables = tuple(tables)      # per level [rows, W+1, 2C] or None
         self.batch = batch               # slice count B' fed to the gather
         self.num_views = num_views
@@ -99,19 +99,25 @@ class PackedFeatures:
         # is NOT slot 0). Applied before the per-point expansion, so it costs
         # a [B']-sized take, not a [K]-sized gather.
         self.slice_map = slice_map
+        # yfold=True: rows carry feat[y] ‖ feat[y+1] (2C channels, ONE gather
+        # index per point — the fast mode, 2x feature memory). yfold=False:
+        # plain rows (C channels, TWO y-row gather indices per point — the
+        # memory mode for 1600x640 T=15 configs whose y-fold tables alone
+        # would be ~8 GB of the 16 GB HBM).
+        self.yfold = yfold
         # "hybrid" impl only: bf16 [B, N*H, W*C] tables for the MXU levels
         self.mxu_tables = tuple(mxu_tables)
 
     def tree_flatten(self):
         return ((self.tables, self.mxu_tables, self.slice_map),
                 (self.batch, self.num_views, self.level_shapes, self.channels,
-                 self.num_groups))
+                 self.num_groups, self.yfold))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         tables, mxu_tables, slice_map = children
         return cls(tables, aux[0], aux[1], aux[2], aux[3], mxu_tables,
-                   num_groups=aux[4], slice_map=slice_map)
+                   num_groups=aux[4], slice_map=slice_map, yfold=aux[5])
 
     def row_index(self, slice_idx, view, row_y, height):
         """Flat table row for (slice, view, y-row) under the row order above."""
@@ -148,12 +154,16 @@ def pack_mlvl_feats(mlvl_feats: Sequence[jnp.ndarray]) -> PackedFeatures:
 
 def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
                             num_views: int,
-                            num_groups: int) -> PackedFeatures:
+                            num_groups: int,
+                            yfold: bool = True) -> PackedFeatures:
     """Pack raw per-frame pyramids [B, T*N, H, W, C] directly into grouped
     y-fold tables, replacing the decoder's global [B,T,G,N,H,W,Cg] feature
     transpose (a full extra copy of the pyramid — ~4 ms at r50 scale on
     v5e) with a LOCAL (W <-> G) permute that XLA fuses into the table build.
-    Row order: (b, t, n, h, g) — see PackedFeatures.row_index."""
+    Row order: (b, t, n, h, g) — see PackedFeatures.row_index.
+
+    ``yfold=False``: memory mode — plain [.., W+1, Cg] rows (1x feature
+    memory instead of 2x) at the cost of a second y-row gather per point."""
     n, g = num_views, num_groups
     b, tn = mlvl_feats[0].shape[0], mlvl_feats[0].shape[1]
     t = tn // n
@@ -163,11 +173,17 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
     tables, shapes = [], []
     for feat in mlvl_feats:
         h, w = feat.shape[2], feat.shape[3]
-        t2 = pack_level(feat.reshape(b * t * n, h, w, c), g)
-        tables.append(t2.reshape(b * t * n * h * g, w + 1, 2 * cg))
+        if yfold:
+            t2 = pack_level(feat.reshape(b * t * n, h, w, c), g)
+            tables.append(t2.reshape(b * t * n * h * g, w + 1, 2 * cg))
+        else:
+            f = feat.reshape(b * t * n, h, w, g, cg)
+            f = jnp.transpose(f, (0, 1, 3, 2, 4))        # [.., g, w, cg]
+            f = jnp.pad(f, ((0, 0),) * 3 + ((0, 1), (0, 0)))  # guard col
+            tables.append(f.reshape(b * t * n * h * g, w + 1, cg))
         shapes.append((h, w))
     return PackedFeatures(tuple(tables), b * t * g, n, tuple(shapes), cg,
-                          num_groups=g)
+                          num_groups=g, yfold=yfold)
 
 
 def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
@@ -177,11 +193,11 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
     ``frame_packed_meta`` supplies the per-frame table geometry (a
     single-frame ``pack_mlvl_feats_grouped`` result; its buffers are not
     read). Returns a per-level tuple [S*N*H*G, W+1, 2Cg]."""
+    ch = (2 if frame_packed_meta.yfold else 1) * frame_packed_meta.channels
     ring = []
     for (h, w) in frame_packed_meta.level_shapes:
         rows = frame_packed_meta.num_views * h * frame_packed_meta.num_groups
-        ring.append(jnp.zeros(
-            (num_slots * rows, w + 1, 2 * frame_packed_meta.channels), dtype))
+        ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dtype))
     return tuple(ring)
 
 
@@ -227,7 +243,7 @@ def ring_packed(ring_tables, slots_of_t, num_frames: int,
     return PackedFeatures(
         ring_tables, num_frames * g, frame_packed_meta.num_views,
         frame_packed_meta.level_shapes, frame_packed_meta.channels,
-        num_groups=g, slice_map=slice_map)
+        num_groups=g, slice_map=slice_map, yfold=frame_packed_meta.yfold)
 
 
 def _bilinear_taps(x_pix, y_pix, h, w):
@@ -382,16 +398,29 @@ def _msmv_halfrow(qmajor: bool,
     out = jnp.zeros((k, c), jnp.float32)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]
-        flat = packed.tables[lvl].reshape(-1, 2 * c)
+        row_ch = (2 if packed.yfold else 1) * c
+        flat = packed.tables[lvl].reshape(-1, row_ch)
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x * (w - 1), y * (h - 1), h, w)
         lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
-        row = packed.row_index(batch_row, view, ry, h) * (w + 1)
-        wy = jnp.stack([wya, wyb], -1).astype(jnp.float32)  # [K, 2]
-        for slot, wx in ((0, wxa), (1, wxb)):
-            g = jnp.take(flat, row + sx + slot, axis=0).astype(jnp.float32)
-            g = g.reshape(k, 2, c)  # (y-half, C)
-            out = out + (g * wy[..., None]).sum(1) * (wx * lw)[:, None]
+        if packed.yfold:
+            row = packed.row_index(batch_row, view, ry, h) * (w + 1)
+            wy = jnp.stack([wya, wyb], -1).astype(jnp.float32)  # [K, 2]
+            for slot, wx in ((0, wxa), (1, wxb)):
+                g = jnp.take(flat, row + sx + slot,
+                             axis=0).astype(jnp.float32)
+                g = g.reshape(k, 2, c)  # (y-half, C)
+                out = out + (g * wy[..., None]).sum(1) * (wx * lw)[:, None]
+        else:
+            # memory mode: four single-row taps (same fast scatter shape in
+            # the transposed/backward direction)
+            for row_y, wy in ((ry, wya),
+                              (jnp.minimum(ry + 1, h - 1), wyb)):
+                row = packed.row_index(batch_row, view, row_y, h) * (w + 1)
+                for slot, wx in ((0, wxa), (1, wxb)):
+                    g = jnp.take(flat, row + sx + slot,
+                                 axis=0).astype(jnp.float32)
+                    out = out + g * (wx * wy * lw)[:, None]
     # output dtype must MATCH _yfold_forward's (this function is the custom
     # VJP's primal stand-in — a dtype mismatch breaks jax.vjp cotangents;
     # internal math stays fp32 either way)
@@ -521,23 +550,42 @@ def _yfold_forward(qmajor: bool,
 
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x_pix, y_pix, h, w)
-        row = packed.row_index(batch_row, view, ry, h)
         lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
+        wx = jnp.stack([wxa, wxb], -1)                        # [K, 2]
 
-        starts = jnp.stack([row, sx], axis=-1)                # [K, 2]
-        g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,
-                           slice_sizes=(1, 2, 2 * c),
-                           mode="promise_in_bounds")          # [K, 1, 2, 2C]
-        wmat = (jnp.stack([wxa, wxb], -1)[:, :, None]
-                * jnp.stack([wya, wyb], -1)[:, None, :])      # [K, 2, 2]
-        w4 = (wmat * lw[:, None, None]).reshape(k, 4)         # fp32 weights
-        # contraction over the 4 taps, written as explicit multiply+reduce
-        # in the TAP dtype with an fp32-accumulating sum: an einsum (or an
-        # fp32 upcast of the taps) lowers to a dot/copy that relayouts the
-        # [K, 2, 2C] gather output to fp32 K-minor inside the decoder scan
-        # (4.3 ms/sample measured); this form fuses over the bf16 taps.
-        taps = g.reshape(k, 4, c)
-        prod = taps * w4[:, :, None].astype(taps.dtype)
-        out = out + jnp.sum(prod, axis=1, dtype=jnp.float32).astype(acc_dtype)
+        if packed.yfold:
+            row = packed.row_index(batch_row, view, ry, h)
+            starts = jnp.stack([row, sx], axis=-1)            # [K, 2]
+            g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,
+                               slice_sizes=(1, 2, 2 * c),
+                               mode="promise_in_bounds")      # [K, 1, 2, 2C]
+            wmat = wx[:, :, None] * jnp.stack([wya, wyb], -1)[:, None, :]
+            w4 = (wmat * lw[:, None, None]).reshape(k, 4)     # fp32 weights
+            # contraction over the 4 taps, written as explicit multiply+
+            # reduce in the TAP dtype with an fp32-accumulating sum: an
+            # einsum (or an fp32 upcast of the taps) lowers to a dot/copy
+            # that relayouts the [K, 2, 2C] gather output to fp32 K-minor
+            # inside the decoder scan (4.3 ms/sample measured); this form
+            # fuses over the bf16 taps.
+            taps = g.reshape(k, 4, c)
+            prod = taps * w4[:, :, None].astype(taps.dtype)
+            out = out + jnp.sum(prod, axis=1,
+                                dtype=jnp.float32).astype(acc_dtype)
+        else:
+            # memory mode: one (1, 2, C) x-window gather per y tap. wyb is
+            # already 0 whenever row ry+1 would be invalid, so the clamp is
+            # weight-safe.
+            for row_y, wy in ((ry, wya),
+                              (jnp.minimum(ry + 1, h - 1), wyb)):
+                row = packed.row_index(batch_row, view, row_y, h)
+                starts = jnp.stack([row, sx], axis=-1)
+                g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,
+                                   slice_sizes=(1, 2, c),
+                                   mode="promise_in_bounds")  # [K, 1, 2, C]
+                w2 = wx * (wy * lw)[:, None]                  # [K, 2]
+                taps = g.reshape(k, 2, c)
+                prod = taps * w2[:, :, None].astype(taps.dtype)
+                out = out + jnp.sum(prod, axis=1,
+                                    dtype=jnp.float32).astype(acc_dtype)
 
     return out.reshape(d0, d1, p, c)  # [S, Q, P, C] or [Q, S, P, C]

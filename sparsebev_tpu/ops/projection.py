@@ -167,7 +167,7 @@ def sampling_4d(sample_points: jnp.ndarray,
         mlvl_feats.tables, b * g * t, mlvl_feats.num_views,
         mlvl_feats.level_shapes, mlvl_feats.channels,
         mxu_tables=mlvl_feats.mxu_tables, num_groups=mlvl_feats.num_groups,
-        slice_map=logical)
+        slice_map=logical, yfold=mlvl_feats.yfold)
 
     final = msmv_sampling(packed, loc, sw, qmajor=True)  # [Q, BGT, P, C]
 

@@ -119,3 +119,19 @@ def test_eva02_in_detector(rng):
     gmax = max(float(jnp.abs(g).max())
                for g in jax.tree_util.tree_leaves(grads["backbone"]))
     assert np.isfinite(gmax) and gmax > 0
+
+
+def test_chunked_attention_exact():
+    """Query-chunked attention == fused attention (softmax is per-query over
+    keys, so chunking is exact up to float reassociation)."""
+    import jax
+    from sparsebev_tpu.models.eva02 import _chunked_attention
+    rng = np.random.RandomState(0)
+    b, n, h, hd = 2, 700, 4, 16  # n not a chunk multiple: exercises padding
+    q = jnp.asarray(rng.randn(b, n, h, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, n, h, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, n, h, hd).astype(np.float32))
+    want = jax.nn.dot_product_attention(q, k, v)
+    got = _chunked_attention(q, k, v, chunk=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -215,3 +215,40 @@ def test_gradients_bf16_tables(rng):
 
     gl, gw = jax.grad(loss, argnums=(0, 1))(jl, jw)
     assert bool(jnp.isfinite(gl).all()) and bool(jnp.isfinite(gw).all())
+
+
+def test_pair_mode_matches_yfold(rng):
+    """Memory mode (yfold=False: plain rows, 2 y-row gathers per point) must
+    sample and differentiate identically to the y-fold mode, including the
+    ring indirection."""
+    from sparsebev_tpu.ops.msmv_sampling import (msmv_sampling,
+                                                 pack_mlvl_feats_grouped)
+    t, n, g, cg = 2, 6, 2, 8
+    c = g * cg
+    q, p = 5, 4
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    loc = (rng.rand(t * g, q, p, 3).astype(np.float32) * 1.3 - 0.15)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(t * g, q, p, len(shapes)).astype(np.float32)
+
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+
+    def loss(fs, yfold):
+        packed = pack_mlvl_feats_grouped(fs, n, g, yfold=yfold)
+        return jnp.sum(msmv_sampling(packed, jl, jw) ** 2)
+
+    out_y = msmv_sampling(pack_mlvl_feats_grouped(jf, n, g, yfold=True),
+                          jl, jw)
+    out_p = msmv_sampling(pack_mlvl_feats_grouped(jf, n, g, yfold=False),
+                          jl, jw)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_y),
+                               rtol=1e-5, atol=1e-5)
+
+    gy = jax.grad(lambda fs: loss(fs, True))(jf)
+    gp = jax.grad(lambda fs: loss(fs, False))(jf)
+    for a_, b_ in zip(gy, gp):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

@@ -83,3 +83,20 @@ def test_streaming_detector_with_mesh(setup):
     for k in want:
         np.testing.assert_allclose(np.asarray(want[k]), np.asarray(got[k]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_init_streaming_variables_matches_full_init(setup):
+    """Two-stage streaming init (backbone on one frame + head on a dummy
+    packed pyramid) must produce the SAME param tree as a full-window init —
+    flax derives per-param RNGs from module paths, which are identical."""
+    model, variables, img, l2i, td, _ = setup
+    from sparsebev_tpu.inference import init_streaming_variables
+    got = init_streaming_variables(model, img[:, :6], l2i, td, H, W)
+
+    ref_flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    got_flat = dict(jax.tree_util.tree_leaves_with_path(got["params"]))
+    assert len(ref_flat) == len(got_flat)
+    for path, leaf in ref_flat:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(got_flat[path]),
+                                   rtol=0, atol=0, err_msg=str(path))

@@ -117,9 +117,11 @@ def main():
     td = jnp.asarray(np.linspace(0, 0.5 * (num_frames - 1), num_frames,
                                  dtype=np.float32)[None])
 
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
-        jnp.tile(frame, (1, num_frames, 1, 1, 1)), l2i, td, train=False)
+    # streaming-shaped init (backbone on ONE frame + head on a dummy packed
+    # pyramid): a plain full-window init runs the backbone on T*6 full-res
+    # views at once — an OOM by itself for the 1600x640 T=15 configs
+    from sparsebev_tpu.inference import init_streaming_variables
+    variables = init_streaming_variables(model, frame, l2i, td, fh, fw)
 
     from sparsebev_tpu.ops.msmv_sampling import (ring_init, ring_packed,
                                                  ring_update)
@@ -155,7 +157,11 @@ def main():
         return ring, preds
 
     def loop(n):
-        @jax.jit
+        import functools
+
+        # donate the ring: without aliasing, the while-loop carry holds TWO
+        # copies of the multi-GB table ring (an OOM by itself at 1600x640)
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def run(variables, ring, frame):
             def body(i, carry):
                 ring, acc = carry

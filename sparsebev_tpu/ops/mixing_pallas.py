@@ -28,29 +28,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mixing_kernel(x_ref, m_ref, s_ref, o_ref, *, eps):
-    # Per-(bq*g) loop of small dots. STATUS (v5e, 2026-08-16): compiles and
-    # is exact, but the 3600 sequential [32,64]@[64,64] / [128,32]@[32,64]
-    # dots with a full-reduce LN between them are latency-bound: 3.8 ms vs
-    # XLA's 1.2 ms standalone (and ~4.2 ms in-decoder incl. layout copies).
-    # Batched alternatives hit compiler walls: dot_general with 2 batch dims
-    # is rejected ("Up to 1 batch dim supported"); with the (bq, g) batch
-    # folded to ONE leading dim the Mosaic compiler CRASHES
-    # (layout.h:320 Check failed: arr.size() >= layout_rank). Not wired into
-    # the decoder until one of those lowers properly.
+def _mixing_kernel(x_ref, m_ref, s_ref, o_ref, h1_ref, h2_ref, *, eps):
+    # Per-(bq*g) loops of small dots, PHASED so independent dots pipeline
+    # on the MXU (dots -> all LNs -> dots -> all LNs). STATUS (v5e,
+    # 2026-08-17): exact, and phasing cut 3.8 -> 2.73 ms — but XLA's einsum
+    # chain is 1.24 ms standalone, so the 3600-small-dot formulation stays
+    # latency-bound and is NOT wired into the decoder. What would win is a
+    # batched tpu.matmul, but dot_general with 2 batch dims is rejected
+    # ("Up to 1 batch dim supported"), and both the 1-batch-dim fold AND
+    # block-level keepdims stats CRASH the Mosaic compiler (layout.h:320
+    # Check failed: arr.size() >= layout_rank) as of 2026-08.
     blk = x_ref.shape[0]
+
     for b in range(blk):
-        xb = x_ref[b]                      # [P, C]
-        h1 = jnp.dot(xb, m_ref[b], preferred_element_type=jnp.float32)
+        h1_ref[b] = jnp.dot(x_ref[b], m_ref[b],
+                            preferred_element_type=jnp.float32)
+
+    for b in range(blk):  # per-item scalar LN stats (2D full reduces)
+        h1 = h1_ref[b]
         mu = jnp.mean(h1)
         var = jnp.mean(jnp.square(h1 - mu))
-        h1 = jnp.maximum((h1 - mu) * jax.lax.rsqrt(var + eps), 0.0)
-        h2 = jnp.dot(s_ref[b], h1.astype(xb.dtype),
-                     preferred_element_type=jnp.float32)
+        h1_ref[b] = jnp.maximum((h1 - mu) * jax.lax.rsqrt(var + eps), 0.0)
+
+    for b in range(blk):
+        h2_ref[b] = jnp.dot(s_ref[b], h1_ref[b].astype(s_ref.dtype),
+                            preferred_element_type=jnp.float32)
+
+    for b in range(blk):
+        h2 = h2_ref[b]
         mu2 = jnp.mean(h2)
         var2 = jnp.mean(jnp.square(h2 - mu2))
-        h2 = jnp.maximum((h2 - mu2) * jax.lax.rsqrt(var2 + eps), 0.0)
-        o_ref[b] = h2.astype(o_ref.dtype)
+        o_ref[b] = jnp.maximum((h2 - mu2) * jax.lax.rsqrt(var2 + eps),
+                               0.0).astype(o_ref.dtype)
 
 
 def mixing_core_tpu(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
@@ -85,6 +94,10 @@ def mixing_core_tpu(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
         out_specs=pl.BlockSpec((blk, o, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, o, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk, p, c), jnp.float32),   # h1 (pre/post LN)
+            pltpu.VMEM((blk, o, c), jnp.float32),   # h2 (pre LN)
+        ],
         interpret=interpret,
     )(x, m, s)
     return out[:bq * g].reshape(bq, g, o, c)

@@ -65,10 +65,20 @@ def main():
     coder = aux.build_coder()
 
     batch = next(iter(loader))
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
-        jnp.asarray(batch["img"][:1]), jnp.asarray(batch["lidar2img"][:1]),
-        jnp.asarray(batch["time_diff"][:1]), train=False)
+    if args.online:
+        # streaming-shaped init: never runs the backbone on T*6 views at
+        # once (OOM for the 1600x640 T=15 configs); byte-identical params
+        from sparsebev_tpu.inference import init_streaming_variables
+        fh, fw = batch["img"].shape[2], batch["img"].shape[3]
+        variables = init_streaming_variables(
+            model, jnp.asarray(batch["img"][:1, :6]),
+            jnp.asarray(batch["lidar2img"][:1]),
+            jnp.asarray(batch["time_diff"][:1]), fh, fw)
+    else:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+            jnp.asarray(batch["img"][:1]), jnp.asarray(batch["lidar2img"][:1]),
+            jnp.asarray(batch["time_diff"][:1]), train=False)
     if args.weights:
         payload = load_checkpoint(args.weights)
         variables = {"params": payload["params"],

@@ -39,8 +39,12 @@ def _pack_kernel(a_ref, b_ref, o_ref, *, bh, w, cg, groups, nhb):
         lo = g * cg
         # first channel half: feat[h]
         o_ref[0, :, g, 0:w, 0:cg] = a_ref[0, :, :, lo:lo + cg]
-        # second half: feat[h+1] — rows shift up by one inside the block...
-        o_ref[0, 0:bh - 1, g, 0:w, cg:2 * cg] = a_ref[0, 1:bh, :, lo:lo + cg]
+        # second half: feat[h+1] — rows shift up by one inside the block
+        # (a 1-row block has no intra-block shift: its only row is the
+        # "last row" handled below)
+        if bh > 1:
+            o_ref[0, 0:bh - 1, g, 0:w, cg:2 * cg] = \
+                a_ref[0, 1:bh, :, lo:lo + cg]
 
         # ...and the block's last row takes the next block's first row
         # (zeros at the image's bottom row).

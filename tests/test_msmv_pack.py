@@ -52,3 +52,17 @@ def test_mixing_pallas_interpret_matches_xla(rng):
     grads = jax.grad(lambda *t: mixing_core(*t).sum(), argnums=(0, 1, 2))(
         x, m, s)
     assert all(bool(jnp.isfinite(t).all()) for t in grads)
+
+
+def test_pack_level_tiny_and_odd_heights(rng):
+    """Regression: 1-row levels (stride-32 of a 32-px image, hit by the
+    smoke config on TPU) and odd heights must pack exactly — the kernel's
+    intra-block row shift is skipped for 1-row blocks."""
+    from sparsebev_tpu.ops.msmv_pack_pallas import (_pack_level_xla,
+                                                    pack_level_tpu)
+    for h, w in [(1, 2), (2, 4), (3, 5)]:
+        feat = jnp.asarray(rng.randn(6, h, w, 64).astype(np.float32))
+        out = pack_level_tpu(feat, 4, interpret=True)
+        want = _pack_level_xla(feat, 4).reshape(out.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6)

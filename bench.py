@@ -20,7 +20,6 @@ and read back one scalar (see .claude/skills/verify/SKILL.md).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import functools
 import json
 import time
 
@@ -29,8 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _build_model
-from sparsebev_tpu.ops.msmv_sampling import (ring_init, ring_packed,
-                                             ring_update)
+from sparsebev_tpu.inference import make_ring_bench
 
 BASELINE_FPS = 15.8  # RTX 3090 fp32, reference README.md:28,36
 ITERS = 20
@@ -51,41 +49,15 @@ def main():
         jnp.tile(frame, (1, num_frames, 1, 1, 1)), lidar2img, time_diff,
         train=False)
 
-    pack = jax.jit(lambda v, img: model.apply(
-        v, img, train=False, method=model.forward_frame_packed))
-    fp0 = pack(variables, frame)
-    meta = jax.tree_util.tree_map(lambda _: None, fp0)  # geometry only
-    ring = ring_init(fp0, num_frames, fp0.tables[0].dtype)
-    upd = jax.jit(ring_update, donate_argnums=(0,))
-    for s in range(num_frames):  # prefill so iteration 0 sees a full window
-        ring = upd(ring, fp0, jnp.int32(s))
-    ring = jax.block_until_ready(ring)
-
-    def one_sample(variables, ring, i, frame, lidar2img, time_diff):
-        fp = model.apply(variables, frame, train=False,
-                         method=model.forward_frame_packed)
-        ring = ring_update(ring, fp, jnp.mod(i, num_frames))
-        slots = jnp.mod(i - jnp.arange(num_frames, dtype=jnp.int32),
-                        num_frames)
-        packed = ring_packed(ring, slots, num_frames, meta)
-        preds = model.apply(variables, packed, lidar2img, time_diff,
-                            h, w, method=model.forward_head)
-        return ring, preds
-
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def bench_loop(variables, ring, frame, lidar2img, time_diff):
-        def body(i, carry):
-            ring, acc = carry
-            ring, preds = one_sample(variables, ring, i, frame + i * 1e-3,
-                                     lidar2img, time_diff)
-            return ring, acc + preds["all_cls_scores"][-1].sum()
-        return jax.lax.fori_loop(0, ITERS, body, (ring, jnp.float32(0)))
+    loop_for, ring = make_ring_bench(
+        model, variables, frame, lidar2img, time_diff, num_frames, h, w)
+    bench_loop = loop_for(ITERS)
 
     # compile + warm
-    ring, acc = bench_loop(variables, ring, frame, lidar2img, time_diff)
+    ring, acc = bench_loop(variables, ring, frame)
     float(acc)
     t0 = time.perf_counter()
-    ring, acc = bench_loop(variables, ring, frame, lidar2img, time_diff)
+    ring, acc = bench_loop(variables, ring, frame)
     float(acc)
     dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt

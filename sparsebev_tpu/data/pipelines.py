@@ -77,6 +77,10 @@ class LoadMultiViewImageFromFiles:
     def _use_lazy(self, paths) -> bool:
         if self.lazy in (False, "never"):
             return False
+        if self.to_float32:
+            # the flag promises float32 pixels to downstream host steps;
+            # the fused path keeps uint8 until device normalization
+            return False
         from . import fastloader
         return (fastloader.available()
                 and all(p.lower().endswith((".jpg", ".jpeg"))

@@ -43,8 +43,7 @@ def init_streaming_variables(model, frame, lidar2img, time_diff,
 
     frame: [1, 6, H, W, 3]; lidar2img [1, T*6, 4, 4]; time_diff [1, T].
     """
-    head = model.head if hasattr(model, "head") else None
-    # model may be un-bound (setup not run); read the config dict instead
+    # model may be un-bound (setup not run); read the config dict
     head_cfg = model.pts_bbox_head
     g = head_cfg.get("num_groups", 4)
     c = head_cfg["in_channels"]
@@ -52,7 +51,6 @@ def init_streaming_variables(model, frame, lidar2img, time_diff,
     num_frames = head_cfg.get("num_frames", 8)
     num_views = head_cfg.get("num_views", 6)
     yfold = head_cfg.get("table_yfold", True)
-    del head
 
     rngs = {"params": jax.random.PRNGKey(seed),
             "aug": jax.random.PRNGKey(seed + 1)}
@@ -86,6 +84,60 @@ def init_streaming_variables(model, frame, lidar2img, time_diff,
         merged.update(head_vars.get(k, {}))
         out[k] = merged
     return out
+
+
+def make_ring_bench(model, variables, frame, lidar2img, time_diff,
+                    num_frames: int, image_h: int, image_w: int, mesh=None):
+    """Shared in-jit streaming benchmark harness (bench.py + tools/timing.py
+    use the SAME slot arithmetic and donation setup so the two tools cannot
+    silently diverge).
+
+    Returns ``(loop_for, ring)``: ``loop_for(iters)`` builds a jitted
+    ``loop_fn(variables, ring, frame)`` that runs ``iters`` streaming
+    samples inside one jit (each iteration packs the perturbed frame into
+    ring slot i mod T and runs the head over the ring — a real data
+    dependency between iterations) and returns ``(ring, scalar)``; read the
+    scalar back for an honest device sync. The ring argument is DONATED
+    (multi-GB table rings must not double-buffer in the while-loop carry).
+    """
+    import functools
+
+    pack = jax.jit(lambda v, img: model.apply(
+        v, img, train=False, method=model.forward_frame_packed))
+    fp0 = pack(variables, frame)
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)  # geometry only
+    ring = ring_init(fp0, num_frames, fp0.tables[0].dtype)
+    upd = jax.jit(ring_update, donate_argnums=(0,))
+    for s in range(num_frames):  # prefill so iteration 0 sees a full window
+        ring = upd(ring, fp0, jnp.int32(s))
+
+    def one_sample(variables, ring, i, frame):
+        fp = model.apply(variables, frame, train=False,
+                         method=model.forward_frame_packed)
+        ring = ring_update(ring, fp, jnp.mod(i, num_frames))
+        slots = jnp.mod(i - jnp.arange(num_frames, dtype=jnp.int32),
+                        num_frames)
+        packed = ring_packed(ring, slots, num_frames, meta)
+        preds = model.apply(variables, packed, lidar2img, time_diff,
+                            image_h, image_w, method=model.forward_head)
+        if mesh is not None:
+            from .parallel.query_parallel import constrain_preds
+            preds = constrain_preds(preds, mesh)
+        return ring, preds
+
+    def loop_for(iters: int):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def loop_fn(variables, ring, frame):
+            def body(i, carry):
+                ring, acc = carry
+                ring, preds = one_sample(variables, ring, i,
+                                         frame + i * 1e-3)
+                return ring, acc + preds["all_cls_scores"][-1].astype(
+                    jnp.float32).sum()
+            return jax.lax.fori_loop(0, iters, body, (ring, jnp.float32(0)))
+        return loop_fn
+
+    return loop_for, ring
 
 
 class StreamingDetector:

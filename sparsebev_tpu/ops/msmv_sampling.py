@@ -246,6 +246,20 @@ def ring_packed(ring_tables, slots_of_t, num_frames: int,
         num_groups=g, slice_map=slice_map, yfold=frame_packed_meta.yfold)
 
 
+def table_acc_dtype(packed: PackedFeatures):
+    """Output/accumulator dtype of the sampling op.
+
+    Matches the TABLE dtype for bf16/fp32 tables (per-level tap
+    contractions still reduce in fp32; the consumer — AdaptiveMixing —
+    casts to this dtype anyway, and at bf16 the matching accumulator halves
+    its HBM traffic); anything else accumulates fp32. Both _yfold_forward
+    and the custom VJP's halfrow primal MUST use this (jax.vjp rejects
+    cotangents whose dtype differs from the primal output)."""
+    dt = (packed.tables[0].dtype if packed.tables[0] is not None
+          else jnp.float32)
+    return dt if dt in (jnp.bfloat16, jnp.float32) else jnp.float32
+
+
 def _bilinear_taps(x_pix, y_pix, h, w):
     """Corner indices + weights for bilinear sampling with zero padding.
 
@@ -421,14 +435,9 @@ def _msmv_halfrow(qmajor: bool,
                     g = jnp.take(flat, row + sx + slot,
                                  axis=0).astype(jnp.float32)
                     out = out + g * (wx * wy * lw)[:, None]
-    # output dtype must MATCH _yfold_forward's (this function is the custom
-    # VJP's primal stand-in — a dtype mismatch breaks jax.vjp cotangents;
-    # internal math stays fp32 either way)
-    acc_dtype = packed.tables[0].dtype if packed.tables[0] is not None \
-        else jnp.float32
-    if acc_dtype not in (jnp.bfloat16, jnp.float32):
-        acc_dtype = jnp.float32
-    return out.reshape(d0, d1, p, c).astype(acc_dtype)
+    # internal math stays fp32; output dtype via the shared rule (see
+    # table_acc_dtype — it must match _yfold_forward's)
+    return out.reshape(d0, d1, p, c).astype(table_acc_dtype(packed))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -497,14 +506,7 @@ def _yfold_forward(qmajor: bool,
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),
         start_index_map=(0, 1))
 
-    # accumulate across levels in the TABLE dtype: each per-level tap
-    # contraction still reduces in fp32 (preferred_element_type), but the
-    # [K, C] accumulator matches what the consumer (AdaptiveMixing) casts to
-    # anyway — at bf16 this halves accumulator traffic (~1 ms/sample at r50)
-    acc_dtype = packed.tables[0].dtype if packed.tables[0] is not None \
-        else jnp.float32
-    if acc_dtype not in (jnp.bfloat16, jnp.float32):
-        acc_dtype = jnp.float32
+    acc_dtype = table_acc_dtype(packed)  # shared rule, see its docstring
     out = jnp.zeros((k, c), acc_dtype)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]

@@ -117,7 +117,9 @@ def sampling_4d(sample_points: jnp.ndarray,
       debug_out: optional dict populated with projection intermediates
         (the DUMP mechanism, models/sparsebev_sampling.py:82-86).
     Returns:
-      ``[B, Q, G, T*P, C]`` sampled features (fp32).
+      ``[B, Q, G, T*P, C]`` sampled features, in the sampling accumulator
+      dtype (the table dtype — bf16 for bf16 configs; see
+      ``msmv_sampling.table_acc_dtype``).
     """
     b, q, t, g, p, _ = sample_points.shape
     n = num_views

@@ -77,14 +77,12 @@ def main():
             rows.append({"path": name, "jpegs_per_s": round(n / dt, 1),
                          "samples_per_s": round(1.0 / dt, 2),
                          "ms_per_sample": round(dt * 1e3, 1)})
-        cores = os.cpu_count() or 1
+        # per-image decode is embarrassingly parallel across the fused
+        # path's worker threads (capped at 8 and by host cores); the eager
+        # PIL path is single-threaded. Report the facts, not a projection.
         for r in rows:
-            r["host_cores"] = cores
-            # per-image decode is embarrassingly parallel (atomic work
-            # queue); the projection assumes linear scaling — it cannot be
-            # verified on a 1-core host
-            r["projected_jpegs_per_s_32core"] = round(
-                r["jpegs_per_s"] / cores * 32, 1)
+            r["host_cores"] = os.cpu_count() or 1
+            r["fused_worker_threads"] = 8 if r["path"] == "fused_native" else 1
             print(json.dumps(r))
 
 

@@ -44,7 +44,7 @@ def parse_args():
     return parser.parse_args()
 
 
-def run_e2e(cfg, model, variables, num_samples):
+def run_e2e(cfg, model, variables, num_samples, mesh=None):
     """Per-sample streaming eval over synthetic flagship-scale data."""
     import tempfile
     import numpy as np
@@ -64,7 +64,7 @@ def run_e2e(cfg, model, variables, num_samples):
         dataset = build_dataset(val_cfg)
         streaming = StreamingDetector(
             model, variables,
-            num_frames=cfg.model["pts_bbox_head"]["num_frames"])
+            num_frames=cfg.model["pts_bbox_head"]["num_frames"], mesh=mesh)
 
         def one(i, timed):
             t0 = time.perf_counter()
@@ -123,17 +123,7 @@ def main():
     from sparsebev_tpu.inference import init_streaming_variables
     variables = init_streaming_variables(model, frame, l2i, td, fh, fw)
 
-    from sparsebev_tpu.ops.msmv_sampling import (ring_init, ring_packed,
-                                                 ring_update)
-
-    pack = jax.jit(lambda v, img: model.apply(
-        v, img, train=False, method=model.forward_frame_packed))
-    fp0 = pack(variables, frame)
-    meta = jax.tree_util.tree_map(lambda _: None, fp0)
-    ring = ring_init(fp0, num_frames, fp0.tables[0].dtype)
-    upd = jax.jit(ring_update, donate_argnums=(0,))
-    for s in range(num_frames):
-        ring = upd(ring, fp0, jnp.int32(s))
+    from sparsebev_tpu.inference import make_ring_bench
 
     mesh = None
     if args.shard_queries:
@@ -142,36 +132,11 @@ def main():
         mesh = Mesh(np.asarray(jax.devices()), (QUERY_AXIS,))
         logging.info("query-sharding the decoder over %d devices", mesh.size)
 
-    def one_sample(variables, ring, i, frame):
-        fp = model.apply(variables, frame, train=False,
-                         method=model.forward_frame_packed)
-        ring = ring_update(ring, fp, jnp.mod(i, num_frames))
-        slots = jnp.mod(i - jnp.arange(num_frames, dtype=jnp.int32),
-                        num_frames)
-        packed = ring_packed(ring, slots, num_frames, meta)
-        preds = model.apply(variables, packed, l2i, td, fh, fw,
-                            method=model.forward_head)
-        if mesh is not None:
-            from sparsebev_tpu.parallel.query_parallel import constrain_preds
-            preds = constrain_preds(preds, mesh)
-        return ring, preds
-
-    def loop(n):
-        import functools
-
-        # donate the ring: without aliasing, the while-loop carry holds TWO
-        # copies of the multi-GB table ring (an OOM by itself at 1600x640)
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def run(variables, ring, frame):
-            def body(i, carry):
-                ring, acc = carry
-                ring, preds = one_sample(variables, ring, i, frame + i * 1e-3)
-                return ring, acc + preds["all_cls_scores"][-1].sum()
-            return jax.lax.fori_loop(0, n, body, (ring, jnp.float32(0)))
-        return run
-
-    warm = loop(args.warmup)
-    timed = loop(args.samples)
+    # shared harness with bench.py — same slot arithmetic + ring donation
+    loop_for, ring = make_ring_bench(
+        model, variables, frame, l2i, td, num_frames, fh, fw, mesh=mesh)
+    warm = loop_for(args.warmup)
+    timed = loop_for(args.samples)
     ring, acc = warm(variables, ring, frame)
     float(acc)
     ring, acc = timed(variables, ring, frame)  # compile
@@ -191,7 +156,8 @@ def main():
                       "unit": "fps"}))
 
     if args.e2e:
-        stats = run_e2e(cfg, model, variables, args.e2e_samples)
+        stats = run_e2e(cfg, model, variables, args.e2e_samples,
+                        mesh=mesh)
         stats["metric"] = "streaming_fps_e2e"
         logging.info("e2e per-sample: %s", stats)
         print(json.dumps(stats))

@@ -103,3 +103,31 @@ def test_multi_ann_file(synth_ann):
     ds1 = NuScenesSweepDataset(ann_file=synth_ann, pipeline=[])
     ds2 = NuScenesSweepDataset(ann_file=[synth_ann, synth_ann], pipeline=[])
     assert len(ds2) == 2 * len(ds1)
+
+
+def test_timing_cli(synth_ann):
+    """timing.py CLI (in-jit ring loop + --shard-queries + --e2e) end to end
+    on CPU: prints both JSON metric lines."""
+    import json
+    out = _run([sys.executable, "tools/timing.py",
+                "--config", "configs/smoke_synthetic.py",
+                "--platform", "cpu", "--samples", "2", "--warmup", "1",
+                "--shard-queries", "--e2e", "--e2e-samples", "2"],
+               timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = [json.loads(l) for l in out.stdout.splitlines()
+               if l.startswith("{")]
+    names = {m["metric"] for m in metrics}
+    assert {"streaming_fps", "streaming_fps_e2e"} <= names, names
+
+
+def test_loader_bench_cli():
+    import json
+    out = _run([sys.executable, "tools/loader_bench.py",
+                "--frames", "1", "--reps", "1"], timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.splitlines()
+            if l.startswith("{")]
+    assert any(r["path"] == "eager_pil" for r in rows)
+    for r in rows:
+        assert r["jpegs_per_s"] > 0

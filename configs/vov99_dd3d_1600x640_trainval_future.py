@@ -42,9 +42,10 @@ model = dict(
         num_levels=5,
         num_points=4,
         num_frames=15,
-        # pair sampling tables: the y-fold mode's 2x feature memory
-        # (~8 GB at 1600x640 T=15) does not fit 16 GB HBM chips
-        table_yfold=False,
+        # PAIR tables for level 0 only (its y-fold table alone is ~6 GB
+        # at 1600x640 T=15 — does not fit 16 GB HBM); the small levels
+        # keep the fast one-gather y-fold mode
+        table_yfold=(False, True, True, True, True),
     ),
 )
 

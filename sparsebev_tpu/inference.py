@@ -59,13 +59,15 @@ def init_streaming_variables(model, frame, lidar2img, time_diff,
 
     from .ops.msmv_sampling import PackedFeatures
     cg = c // g
-    ch = (2 if yfold else 1) * cg
+    if isinstance(yfold, bool):
+        yfold = (yfold,) * num_levels
     shapes = []
     h0, w0 = 8, 8
     tables = []
     for lvl in range(num_levels):
         h_l, w_l = max(h0 >> lvl, 1), max(w0 >> lvl, 1)
         shapes.append((h_l, w_l))
+        ch = (2 if yfold[lvl] else 1) * cg
         tables.append(jnp.zeros(
             (num_frames * num_views * h_l * g, w_l + 1, ch), jnp.float32))
     dummy = PackedFeatures(tuple(tables), num_frames * g, num_views,

@@ -14,7 +14,7 @@ are pre-reduced to a ``time_diff [B, T]`` input so the whole decoder jits.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -297,7 +297,7 @@ class SparseBEVTransformer(nn.Module):
     # y-fold sampling tables (fast, 2x feature memory) vs plain pair tables
     # (1x memory, 2x gather indices) — the 1600x640 T=15 configs need the
     # memory mode to fit 16 GB HBM (see ops.msmv_sampling.PackedFeatures)
-    table_yfold: bool = True
+    table_yfold: Any = True
 
     @nn.compact
     def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,

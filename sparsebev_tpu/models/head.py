@@ -13,7 +13,7 @@ of an rng key) so the head stays deterministic given its inputs.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +65,7 @@ class SparseBEVHead(nn.Module):
     # mirrors the reference's fp16 autocast over the head (sparsebev.py:313)
     compute_dtype: Optional[jnp.dtype] = None
     # sampling-table memory mode (see decoder.SparseBEVTransformer)
-    table_yfold: bool = True
+    table_yfold: Any = True
 
     def setup(self):
         c = self.in_channels

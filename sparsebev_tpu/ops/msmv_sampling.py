@@ -99,12 +99,16 @@ class PackedFeatures:
         # is NOT slot 0). Applied before the per-point expansion, so it costs
         # a [B']-sized take, not a [K]-sized gather.
         self.slice_map = slice_map
+        # Per-LEVEL table mode (a bool broadcasts to all levels).
         # yfold=True: rows carry feat[y] ‖ feat[y+1] (2C channels, ONE gather
         # index per point — the fast mode, 2x feature memory). yfold=False:
         # plain rows (C channels, TWO y-row gather indices per point — the
-        # memory mode for 1600x640 T=15 configs whose y-fold tables alone
-        # would be ~8 GB of the 16 GB HBM).
-        self.yfold = yfold
+        # memory mode). 1600x640 T=15 configs pair-code ONLY level 0 (the 2x
+        # memory of its y-fold table alone is ~6 GB of the 16 GB HBM) and
+        # keep the small levels on the fast mode.
+        if isinstance(yfold, bool):
+            yfold = (yfold,) * len(self.level_shapes)
+        self.yfold = tuple(yfold)
         # "hybrid" impl only: bf16 [B, N*H, W*C] tables for the MXU levels
         self.mxu_tables = tuple(mxu_tables)
 
@@ -163,17 +167,23 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
     Row order: (b, t, n, h, g) — see PackedFeatures.row_index.
 
     ``yfold=False``: memory mode — plain [.., W+1, Cg] rows (1x feature
-    memory instead of 2x) at the cost of a second y-row gather per point."""
+    memory instead of 2x) at the cost of a second y-row gather per point.
+    A per-level sequence mixes modes (pair the huge level 0, y-fold the
+    small levels)."""
     n, g = num_views, num_groups
     b, tn = mlvl_feats[0].shape[0], mlvl_feats[0].shape[1]
     t = tn // n
     c = mlvl_feats[0].shape[-1]
     cg = c // g
+    if isinstance(yfold, bool):
+        yfold = (yfold,) * len(mlvl_feats)
+    yfold = tuple(yfold)
+    assert len(yfold) == len(mlvl_feats)
     from .msmv_pack_pallas import pack_level
     tables, shapes = [], []
-    for feat in mlvl_feats:
+    for feat, yf in zip(mlvl_feats, yfold):
         h, w = feat.shape[2], feat.shape[3]
-        if yfold:
+        if yf:
             t2 = pack_level(feat.reshape(b * t * n, h, w, c), g)
             tables.append(t2.reshape(b * t * n * h * g, w + 1, 2 * cg))
         else:
@@ -193,9 +203,10 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
     ``frame_packed_meta`` supplies the per-frame table geometry (a
     single-frame ``pack_mlvl_feats_grouped`` result; its buffers are not
     read). Returns a per-level tuple [S*N*H*G, W+1, 2Cg]."""
-    ch = (2 if frame_packed_meta.yfold else 1) * frame_packed_meta.channels
     ring = []
-    for (h, w) in frame_packed_meta.level_shapes:
+    for (h, w), yf in zip(frame_packed_meta.level_shapes,
+                          frame_packed_meta.yfold):
+        ch = (2 if yf else 1) * frame_packed_meta.channels
         rows = frame_packed_meta.num_views * h * frame_packed_meta.num_groups
         ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dtype))
     return tuple(ring)
@@ -412,12 +423,12 @@ def _msmv_halfrow(qmajor: bool,
     out = jnp.zeros((k, c), jnp.float32)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]
-        row_ch = (2 if packed.yfold else 1) * c
+        row_ch = (2 if packed.yfold[lvl] else 1) * c
         flat = packed.tables[lvl].reshape(-1, row_ch)
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x * (w - 1), y * (h - 1), h, w)
         lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
-        if packed.yfold:
+        if packed.yfold[lvl]:
             row = packed.row_index(batch_row, view, ry, h) * (w + 1)
             wy = jnp.stack([wya, wyb], -1).astype(jnp.float32)  # [K, 2]
             for slot, wx in ((0, wxa), (1, wxb)):
@@ -555,7 +566,7 @@ def _yfold_forward(qmajor: bool,
         lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
         wx = jnp.stack([wxa, wxb], -1)                        # [K, 2]
 
-        if packed.yfold:
+        if packed.yfold[lvl]:
             row = packed.row_index(batch_row, view, ry, h)
             starts = jnp.stack([row, sx], axis=-1)            # [K, 2]
             g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,

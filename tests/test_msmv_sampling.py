@@ -252,3 +252,38 @@ def test_pair_mode_matches_yfold(rng):
     for a_, b_ in zip(gy, gp):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_level_table_modes(rng):
+    """Per-level table modes (pair the big level, y-fold the rest) must
+    sample and differentiate identically to uniform modes."""
+    from sparsebev_tpu.ops.msmv_sampling import (msmv_sampling,
+                                                 pack_mlvl_feats_grouped)
+    t, n, g, cg = 2, 6, 2, 8
+    c = g * cg
+    q, p = 5, 4
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    loc = (rng.rand(t * g, q, p, 3).astype(np.float32) * 1.3 - 0.15)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(t * g, q, p, len(shapes)).astype(np.float32)
+
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+    want = msmv_sampling(pack_mlvl_feats_grouped(jf, n, g, yfold=True),
+                         jl, jw)
+    got = msmv_sampling(
+        pack_mlvl_feats_grouped(jf, n, g, yfold=(False, True)), jl, jw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fs, yf):
+        packed = pack_mlvl_feats_grouped(fs, n, g, yfold=yf)
+        return jnp.sum(msmv_sampling(packed, jl, jw) ** 2)
+
+    ga = jax.grad(lambda fs: loss(fs, True))(jf)
+    gb = jax.grad(lambda fs: loss(fs, (False, True)))(jf)
+    for a_, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

@@ -102,3 +102,55 @@ def test_lazy_images_materialize_without_transform(jpegs):
     results["img_timestamp"] = [0.0] * len(jpegs)
     out = DefaultFormatBundle3D()(results)
     assert out["img"].shape == (4, 48, 64, 3)
+
+
+def _sweep_pipeline_results(synth_root, loader_step, lazy):
+    """Run keyframe-load -> sweep-load -> RandomTransformImage -> format on
+    one synthetic sample with the given sweep loader config."""
+    from sparsebev_tpu.builder import build_dataset
+    cfg = dict(type="NuScenesSweepDataset", ann_file=synth_root,
+               pipeline=[
+                   dict(type="LoadMultiViewImageFromFiles", lazy=lazy),
+                   loader_step,
+                   dict(type="RandomTransformImage",
+                        ida_aug_conf=dict(H=48, W=96, final_dim=(24, 48),
+                                          resize_lim=(0.6, 0.7),
+                                          bot_pct_lim=(0.0, 0.0),
+                                          rot_lim=(0.0, 0.0),
+                                          rand_flip=False),
+                        training=False),
+                   dict(type="DefaultFormatBundle3D"),
+               ])
+    ds = build_dataset(cfg)
+    return ds[1]
+
+
+@pytest.fixture(scope="module")
+def sweep_synth(tmp_path_factory):
+    from sparsebev_tpu.data import make_synthetic_dataset
+    root = tmp_path_factory.mktemp("sweep_synth")
+    return make_synthetic_dataset(str(root), num_samples=4,
+                                  sweeps_between=2, image_hw=(48, 96))
+
+
+@pytest.mark.parametrize("loader_step", [
+    dict(type="LoadMultiViewImageFromMultiSweeps", sweeps_num=2,
+         test_mode=True),
+    dict(type="LoadMultiViewImageFromMultiSweepsFuture",
+         prev_sweeps_num=1, next_sweeps_num=1, test_mode=True),
+    dict(type="LoadMultiViewImageFromMultiSweepsFutureInterleave",
+         prev_sweeps_num=1, next_sweeps_num=1, test_mode=True),
+])
+def test_sweep_loaders_lazy_fused_matches_eager(sweep_synth, loader_step):
+    """All three sweep loaders must propagate LazyJPEG markers through their
+    repeat/pick/interleave plumbing so the fused C++ path produces the same
+    images as the eager PIL path (ROADMAP item: fused-path coverage for
+    Future/Interleave)."""
+    fused = _sweep_pipeline_results(sweep_synth, loader_step, lazy="auto")
+    eager = _sweep_pipeline_results(sweep_synth, loader_step, lazy="never")
+    assert fused["img"].shape == eager["img"].shape
+    assert fused["img"].dtype == np.uint8
+    diff = np.abs(fused["img"].astype(int) - eager["img"].astype(int))
+    assert np.median(diff) <= 2 and diff.mean() < 6
+    np.testing.assert_allclose(fused["lidar2img"], eager["lidar2img"],
+                               atol=1e-6)

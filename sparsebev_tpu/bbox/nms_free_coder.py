@@ -12,9 +12,11 @@ from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.box_ops import denormalize_bbox
 from ..registry import BBOX_CODERS
+from ..utils.version import VERSION
 
 
 class NMSFreeCoder:
@@ -43,6 +45,19 @@ class NMSFreeCoder:
         labels = idx % self.num_classes
         bbox_index = idx // self.num_classes
         boxes = denormalize_bbox(bbox_preds[bbox_index])  # [K, 9]
+
+        if VERSION.name == "v0.17.1":
+            # Old-checkpoint decode back-compat (reference
+            # models/sparsebev_head.py:470-478): released v0.17.1-era
+            # checkpoints store dims as (l, w) and yaw in the flipped
+            # convention; swap w/l and remap yaw = -yaw - pi/2 so the world
+            # boxes match the devkit layout. Read at TRACE time — set
+            # VERSION from the checkpoint before building any jitted decode
+            # (mirrors reference val.py:128-129).
+            boxes = jnp.concatenate([
+                boxes[:, :3], boxes[:, 4:5], boxes[:, 3:4], boxes[:, 5:6],
+                -boxes[:, 6:7] - np.pi / 2, boxes[:, 7:],
+            ], axis=-1)
 
         mask = jnp.ones_like(top_scores, dtype=bool)
         if self.score_threshold is not None:

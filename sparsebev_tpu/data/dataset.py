@@ -112,6 +112,14 @@ class NuScenesSweepDataset:
             l2e_r = quaternion_to_rotation_matrix(l2e_r)
 
         sweeps_prev, sweeps_next = self.collect_sweeps(index)
+        l2e_t = np.asarray(info["lidar2ego_translation"], np.float64)
+        # ego_frame: affine [3,4] mapping lidar-frame points to ego-relative
+        # GLOBAL coords (p_global - ego_translation = e2g_r @ (l2e_r p + t)).
+        # The devkit's class-range filter measures ||.||_xy of exactly this
+        # (nuscenes eval loaders: box.ego_dist from the ego pose, not the
+        # lidar origin) — consumed by evaluation/metrics.py.
+        ego_frame = (e2g_r @ np.concatenate(
+            [l2e_r, l2e_t[:, None]], axis=1)).astype(np.float32)
         input_dict = dict(
             sample_idx=info["token"],
             sweeps={"prev": sweeps_prev, "next": sweeps_next},
@@ -120,6 +128,7 @@ class NuScenesSweepDataset:
             ego2global_rotation=e2g_r,
             lidar2ego_translation=np.asarray(info["lidar2ego_translation"]),
             lidar2ego_rotation=l2e_r,
+            ego_frame=ego_frame,
         )
 
         if self.modality.get("use_camera", True):
@@ -166,6 +175,16 @@ class NuScenesSweepDataset:
 
         boxes = np.asarray(info["gt_boxes"], np.float32)[keep]
         names = np.asarray(info["gt_names"])[keep]
+        # devkit eval loads GT with num_pts = num_lidar_pts + num_radar_pts
+        # and filter_eval_boxes drops num_pts == 0; plumb the counts through
+        # so the evaluator can apply the same rule (evaluation/metrics.py).
+        if "num_lidar_pts" in info:
+            num_pts = np.asarray(info["num_lidar_pts"], np.int64)
+            if "num_radar_pts" in info:
+                num_pts = num_pts + np.asarray(info["num_radar_pts"], np.int64)
+            num_pts = num_pts[keep]
+        else:
+            num_pts = None
         if self.with_velocity:
             vel = np.asarray(info.get("gt_velocity",
                                       np.zeros((len(boxes), 2))), np.float32)
@@ -178,11 +197,14 @@ class NuScenesSweepDataset:
             [self.classes.index(n) if n in self.classes else -1 for n in names],
             np.int64)
         valid = labels >= 0
-        return dict(
+        out = dict(
             gt_bboxes_3d=Boxes3D(boxes[valid], box_dim=boxes.shape[-1]),
             gt_labels_3d=labels[valid],
             gt_names=names[valid],
         )
+        if num_pts is not None:
+            out["gt_num_pts"] = num_pts[valid]
+        return out
 
     # -- pipeline -----------------------------------------------------------
     def prepare_sample(self, index: int) -> Dict[str, Any]:
@@ -193,6 +215,8 @@ class NuScenesSweepDataset:
         if "ann_info" in results:
             results["gt_bboxes_3d"] = results["ann_info"]["gt_bboxes_3d"]
             results["gt_labels_3d"] = results["ann_info"]["gt_labels_3d"]
+            if "gt_num_pts" in results["ann_info"]:
+                results["gt_num_pts"] = results["ann_info"]["gt_num_pts"]
         for fn in self.pipeline_fns:
             results = fn(results)
             if results is None:

@@ -39,12 +39,19 @@ def collate_batch(samples: Sequence[Dict[str, Any]], max_gt: int = 64,
     batch["time_diff"] = np.stack([
         compute_time_diff(s["img_timestamp"], num_views) for s in samples])
     batch["img_metas"] = [s.get("img_metas", {}) for s in samples]
+    if "ego_frame" in samples[0]:
+        # [B, 3, 4] lidar->ego-relative-global affine (devkit ego distance)
+        batch["ego_frame"] = np.stack(
+            [np.asarray(s["ego_frame"], np.float32) for s in samples])
 
     if "gt_bboxes_3d" in samples[0]:
         b = len(samples)
         gt_boxes = np.zeros((b, max_gt, 9), np.float32)
         gt_labels = np.zeros((b, max_gt), np.int32)
         gt_mask = np.zeros((b, max_gt), bool)
+        has_pts = "gt_num_pts" in samples[0]
+        # -1 = unknown (evaluator skips the devkit num_pts filter then)
+        gt_num_pts = np.full((b, max_gt), -1, np.int64)
         for i, s in enumerate(samples):
             boxes = s["gt_bboxes_3d"]
             if isinstance(boxes, Boxes3D):
@@ -56,9 +63,13 @@ def collate_batch(samples: Sequence[Dict[str, Any]], max_gt: int = 64,
                 gt_boxes[i, :n] = arr[:n, :9]
                 gt_labels[i, :n] = np.asarray(s["gt_labels_3d"])[:n]
                 gt_mask[i, :n] = True
+                if has_pts:
+                    gt_num_pts[i, :n] = np.asarray(s["gt_num_pts"])[:n]
         batch["gt_boxes"] = gt_boxes
         batch["gt_labels"] = gt_labels
         batch["gt_mask"] = gt_mask
+        if has_pts:
+            batch["gt_num_pts"] = gt_num_pts
     return batch
 
 

@@ -294,6 +294,8 @@ class ObjectRangeFilter:
         keep = boxes.in_range_bev(self.pc_range)
         results["gt_bboxes_3d"] = boxes[keep]
         results["gt_labels_3d"] = np.asarray(results["gt_labels_3d"])[keep]
+        if "gt_num_pts" in results:
+            results["gt_num_pts"] = np.asarray(results["gt_num_pts"])[keep]
         return results
 
 
@@ -307,6 +309,8 @@ class ObjectNameFilter:
         keep = (labels >= 0) & (labels < len(self.classes))
         results["gt_bboxes_3d"] = results["gt_bboxes_3d"][keep]
         results["gt_labels_3d"] = labels[keep]
+        if "gt_num_pts" in results:
+            results["gt_num_pts"] = np.asarray(results["gt_num_pts"])[keep]
         return results
 
 
@@ -522,7 +526,10 @@ class PhotoMetricDistortionMultiViewImage:
         # reuse the jax implementation on host arrays for exactness
         import jax
         from ..models.augment import photometric_distortion
-        imgs = np.stack([im.astype(np.float32) for im in results["img"]])
+        # LazyJPEG markers (fused-loader path) must be decoded before any
+        # host pixel math (ADVICE r2)
+        imgs = np.stack([_materialize(im).astype(np.float32)
+                         for im in results["img"]])
         seed = np.random.randint(0, 2 ** 31 - 1)
         out = photometric_distortion(
             jax.random.PRNGKey(seed), imgs,
@@ -576,8 +583,9 @@ class Collect3D:
         for k in self.keys:
             if k in results:
                 out[k] = results[k]
-        # always surface what the train step needs
-        for k in ("img", "lidar2img", "img_timestamp"):
+        # always surface what the train step / evaluator need
+        for k in ("img", "lidar2img", "img_timestamp", "ego_frame",
+                  "gt_num_pts"):
             if k in results and k not in out:
                 out[k] = results[k]
         return out

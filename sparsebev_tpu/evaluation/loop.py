@@ -70,11 +70,15 @@ def run_offline_eval(model, variables, coder, dataset, loader,
             res = {k: np.asarray(v[i]) for k, v in dec.items()}
             results_per_sample[token] = res
             if "gt_boxes" in batch:
+                m = batch["gt_mask"][i]
                 evaluator.add_sample(
                     res["bboxes"], res["scores"], res["labels"],
-                    batch["gt_boxes"][i][batch["gt_mask"][i]],
-                    batch["gt_labels"][i][batch["gt_mask"][i]],
-                    pred_mask=res["mask"], sample_token=token)
+                    batch["gt_boxes"][i][m], batch["gt_labels"][i][m],
+                    pred_mask=res["mask"], sample_token=token,
+                    ego_frame=(batch["ego_frame"][i]
+                               if "ego_frame" in batch else None),
+                    gt_num_pts=(batch["gt_num_pts"][i][m]
+                                if "gt_num_pts" in batch else None))
             n_done += 1
 
     metrics = evaluator.evaluate() if evaluator._num_samples > 0 else None

@@ -30,10 +30,15 @@ config ``detection_cvpr_2019``):
   approximation — real nuScenes GT carries annotated attributes);
 - NDS = (5*mAP + sum_tp max(0, 1 - min(1, mTP))) / 10.
 
-Known remaining deltas vs a real devkit run: ego distance is measured from
-the lidar-frame origin (devkit uses the ego pose; ~1 m sensor offset), and
-the devkit's num_pts>0 GT filter needs per-box point counts the info files
-don't carry here.
+Devkit filter parity: class-range distances are measured from the EGO POSE
+via the per-sample ``ego_frame`` affine (lidar -> ego-relative global
+coords; devkit ``box.ego_dist``), and GT with ``num_pts == 0``
+(num_lidar_pts + num_radar_pts, plumbed from the info pkls) are dropped
+exactly like ``filter_eval_boxes``. Remaining documented micro-deltas:
+(a) the devkit's bike-rack filter (drops bicycles/motorcycles inside
+bike-rack map records) needs the nuScenes DB and cannot be reproduced from
+info pkls; (b) GT with 0 lidar but >0 radar points are absent from our
+eval set when the dataset's training filter already removed them.
 """
 
 from __future__ import annotations
@@ -131,7 +136,8 @@ class NuScenesDetectionEvaluator:
     """Accumulates per-sample predictions + GT, computes the metric table.
 
     Boxes are lidar/world gravity-centered ``[x, y, z, w, l, h, yaw, vx,
-    vy]``. Class-range filtering measures center distance from the frame
+    vy]``. Class-range filtering measures center distance from the ego pose
+    when ``ego_frame`` is given (devkit semantics), else from the frame
     origin (see module docstring)."""
 
     def __init__(self, classes: Sequence[str] = DEFAULT_CLASSES,
@@ -146,11 +152,18 @@ class NuScenesDetectionEvaluator:
         self._gt = {}                    # (token, class) -> (boxes, attrs)
         self._num_samples = 0
 
-    def _in_range(self, cname: str, boxes: np.ndarray) -> np.ndarray:
+    def _in_range(self, cname: str, boxes: np.ndarray,
+                  ego_frame: Optional[np.ndarray] = None) -> np.ndarray:
         if not self.filter_by_range or len(boxes) == 0:
             return np.ones(len(boxes), bool)
         r = CLASS_RANGE.get(cname, np.inf)
-        return np.linalg.norm(boxes[:, :2], axis=1) <= r
+        centers = boxes[:, :3]
+        if ego_frame is not None:
+            # devkit ego_dist: ||box_global_xy - ego_pose_xy|| — ego_frame
+            # is the [3,4] lidar -> ego-relative-global affine
+            A = np.asarray(ego_frame, np.float64)
+            centers = centers @ A[:, :3].T + A[:, 3]
+        return np.linalg.norm(centers[:, :2], axis=1) <= r
 
     def add_sample(self,
                    pred_boxes: np.ndarray, pred_scores: np.ndarray,
@@ -159,11 +172,21 @@ class NuScenesDetectionEvaluator:
                    pred_mask: Optional[np.ndarray] = None,
                    sample_token: Optional[str] = None,
                    pred_attrs: Optional[Sequence[str]] = None,
-                   gt_attrs: Optional[Sequence[str]] = None) -> None:
+                   gt_attrs: Optional[Sequence[str]] = None,
+                   ego_frame: Optional[np.ndarray] = None,
+                   gt_num_pts: Optional[np.ndarray] = None) -> None:
         token = sample_token or f"sample_{self._num_samples}"
         self._num_samples += 1
         pred_boxes = np.asarray(pred_boxes)
         gt_boxes = np.asarray(gt_boxes)
+        if gt_num_pts is not None:
+            # devkit filter_eval_boxes: drop GT with zero lidar+radar points
+            # (-1 marks "count unknown" — keep those)
+            keep = np.asarray(gt_num_pts) != 0
+            gt_boxes = gt_boxes[keep]
+            gt_labels = np.asarray(gt_labels)[keep]
+            if gt_attrs is not None:
+                gt_attrs = [a for a, k in zip(gt_attrs, keep) if k]
         if pred_mask is None:
             pred_mask = np.ones(len(pred_boxes), bool)
         assert int(np.sum(pred_mask)) <= MAX_BOXES_PER_SAMPLE, (
@@ -180,7 +203,7 @@ class NuScenesDetectionEvaluator:
         for ci, cname in enumerate(self.classes):
             gsel = np.flatnonzero(np.asarray(gt_labels) == ci)
             gboxes = gt_boxes[gsel]
-            keep = self._in_range(cname, gboxes)
+            keep = self._in_range(cname, gboxes, ego_frame)
             gattrs = [_attr(gt_attrs, i, cname, gt_boxes[i]) for i in gsel]
             self._gt[(token, cname)] = (
                 gboxes[keep], [a for a, k in zip(gattrs, keep) if k])
@@ -190,7 +213,7 @@ class NuScenesDetectionEvaluator:
             if len(psel) == 0:
                 continue
             pboxes = pred_boxes[psel]
-            keep_p = self._in_range(cname, pboxes)
+            keep_p = self._in_range(cname, pboxes, ego_frame)
             for j, i in enumerate(psel):
                 if not keep_p[j]:
                     continue

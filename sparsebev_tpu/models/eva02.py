@@ -33,12 +33,16 @@ from .layers import Linear
 
 def _bicubic_resize(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """torch F.interpolate(mode='bicubic', align_corners=False) equivalent on
-    host numpy — used once at model build for the RoPE tables."""
-    import torch
-    import torch.nn.functional as F
-    t = torch.from_numpy(x[None]).permute(0, 3, 1, 2).float()
-    out = F.interpolate(t, size=size, mode="bicubic", align_corners=False)
-    return out.permute(0, 2, 3, 1).numpy()[0]
+    host numpy — used once at model build for the RoPE tables. Pure numpy
+    via the separable ``_bicubic_matrix`` kernel (torch-exact: same cubic
+    a=-0.75, half-pixel centers, border clamp) so EVA02 instantiates with
+    no torch dependency; cross-checked against torch in
+    tests/test_eva02.py."""
+    h, w, _ = x.shape
+    my = _bicubic_matrix(h, size[0]).astype(np.float64)
+    mx = _bicubic_matrix(w, size[1]).astype(np.float64)
+    return np.einsum("Yh,hwc,Xw->YXc", my, x.astype(np.float64), mx
+                     ).astype(np.float32)
 
 
 def build_rope_tables(head_dim: int, pt_seq_len: int, ft_seq_len: int,

@@ -42,7 +42,11 @@ def make_sample_points(query_bbox: jnp.ndarray, offset: jnp.ndarray,
     wlh = bbox[..., 3:6]
     ang = bbox[..., 6:7]
     delta_xyz = offset[..., 0:3] * wlh[:, :, None, :]
-    delta_xyz = rotation_3d_in_axis(delta_xyz, ang)
+    # Reference reads the global VERSION inside rotation_3d_in_axis
+    # (models/utils.py:66-77); read at trace time — set VERSION from the
+    # checkpoint before jitting the forward.
+    from ..utils.version import VERSION
+    delta_xyz = rotation_3d_in_axis(delta_xyz, ang, version=VERSION.name)
     return xyz[:, :, None, :] + delta_xyz
 
 
@@ -132,8 +136,20 @@ def sampling_4d(sample_points: jnp.ndarray,
         debug_out["sample_points_cam"] = loc
         debug_out["valid_mask"] = valid
 
-    from .msmv_sampling import PackedFeatures, pack_mlvl_feats_grouped
+    from .msmv_sampling import (PackedFeatures, pack_mlvl_feats_grouped,
+                                get_sampling_impl)
     if not isinstance(mlvl_feats, PackedFeatures):
+        if get_sampling_impl() == "hybrid":
+            # ADVICE r2: the grouped query-major pack has no MXU tables, so
+            # the experimental hybrid impl is unreachable from the model
+            # path — surface that instead of silently using "xla"
+            # (hybrid remains reachable via direct msmv_sampling calls on
+            # pack_mlvl_feats output; see ops/msmv_pallas.py STATUS).
+            import warnings
+            warnings.warn(
+                "set_sampling_impl('hybrid') has no effect on sampling_4d's "
+                "grouped pack path; using the XLA y-fold gather",
+                stacklevel=2)
         mlvl_feats = pack_mlvl_feats_grouped(list(mlvl_feats), n,
                                              num_groups=1)
 

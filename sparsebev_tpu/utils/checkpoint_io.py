@@ -36,8 +36,10 @@ def save_checkpoint(work_dir: str, step: int, state, max_keep: int = 1,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
     }
-    if extra:
-        payload["extra"] = extra
+    from .version import VERSION
+    extra = dict(extra or {})
+    extra.setdefault("version", VERSION.name)
+    payload["extra"] = extra
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
 
@@ -83,9 +85,19 @@ def restore_train_state(path: str, state):
 # ---------------------------------------------------------------------------
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch ``.pth`` state dict to numpy (CPU torch is available)."""
+    """Read a torch ``.pth`` state dict to numpy (CPU torch is available).
+
+    Side effect: if the checkpoint carries a top-level ``version`` tag
+    (released SparseBEV checkpoints do), set the global VERSION singleton so
+    downstream decode applies the v0.17.1 w/l+yaw back-compat swap — mirrors
+    reference val.py:128-129.
+    """
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "version" in ckpt:
+        from .version import VERSION
+        VERSION.name = str(ckpt["version"])
+        logging.info("checkpoint version tag: %s", VERSION.name)
     for key in ("state_dict", "model"):
         if isinstance(ckpt, dict) and key in ckpt:
             ckpt = ckpt[key]

@@ -139,6 +139,14 @@ def test_loader_batches(synth_root):
     assert b["gt_mask"].dtype == bool
     # gravity center: z raised by h/2 relative to bottom-center storage
     assert b["gt_boxes"][b["gt_mask"]][:, 2].max() <= 3.0
+    # devkit-eval plumbing: per-sample ego affine + per-box point counts
+    # survive the pipeline filters and collate aligned with gt_boxes
+    assert b["ego_frame"].shape == (2, 3, 4)
+    np.testing.assert_allclose(b["ego_frame"][:, :, :3],
+                               np.broadcast_to(np.eye(3), (2, 3, 3)))
+    assert b["gt_num_pts"].shape == (2, 8)
+    assert (b["gt_num_pts"][b["gt_mask"]] == 10).all()  # synthetic fixture
+    assert (b["gt_num_pts"][~b["gt_mask"]] == -1).all()
 
 
 def test_time_diff():

@@ -177,3 +177,49 @@ def test_max_boxes_per_sample_cap(rng):
     with pytest.raises(AssertionError):
         ev.add_sample(boxes, np.ones(n), np.zeros(n, int),
                       boxes[:1], np.zeros(1, int))
+
+
+def test_ego_frame_range_filter(rng):
+    """devkit ego_dist: class-range filtering must measure from the ego pose
+    (via the lidar->ego-relative-global affine), not the lidar origin."""
+    ev = NuScenesDetectionEvaluator(CLASSES)
+    # one car GT at x=45 m in the lidar frame; ego_frame shifts everything
+    # +10 m in x -> ego distance 55 m > 50 m car range -> filtered out
+    gt = _random_gt(rng, 1)
+    gt[0, :2] = [45.0, 0.0]
+    ego_frame = np.concatenate([np.eye(3), [[10.0], [0.0], [0.0]]], 1)
+    ev.add_sample(gt.copy(), np.array([0.9]), np.array([0]), gt,
+                  np.array([0]), ego_frame=ego_frame)
+    assert ev._gt_count["car"] == 0
+    assert len(ev._preds["car"]) == 0
+
+    # without the shift both survive (45 < 50)
+    ev2 = NuScenesDetectionEvaluator(CLASSES)
+    ev2.add_sample(gt.copy(), np.array([0.9]), np.array([0]), gt,
+                   np.array([0]))
+    assert ev2._gt_count["car"] == 1
+    assert len(ev2._preds["car"]) == 1
+
+    # a rotational ego_frame must not change distances (norm-preserving
+    # about the ego origin)
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    ev3 = NuScenesDetectionEvaluator(CLASSES)
+    ev3.add_sample(gt.copy(), np.array([0.9]), np.array([0]), gt,
+                   np.array([0]),
+                   ego_frame=np.concatenate([rot, np.zeros((3, 1))], 1))
+    assert ev3._gt_count["car"] == 1
+
+
+def test_gt_num_pts_filter(rng):
+    """devkit filter_eval_boxes: GT with num_lidar_pts+num_radar_pts == 0
+    are removed; -1 (count unknown) is kept."""
+    gt = _random_gt(rng, 3)
+    labels = np.zeros(3, np.int64)
+    ev = NuScenesDetectionEvaluator(CLASSES)
+    ev.add_sample(gt.copy(), np.full(3, 0.9), labels, gt, labels,
+                  gt_num_pts=np.array([5, 0, -1]))
+    assert ev._gt_count["car"] == 2  # the 0-point box dropped, -1 kept
+    # predictions are never filtered by num_pts
+    assert len(ev._preds["car"]) == 3

@@ -85,6 +85,14 @@ def main():
                      "batch_stats": payload.get("batch_stats", {})}
         logging.info("loaded weights from %s (step %s)",
                      args.weights, payload.get("step"))
+        # v0.17.1 back-compat: restore the checkpoint's version tag BEFORE
+        # any decode is traced so the coder applies the w/l+yaw swap
+        # (reference val.py:128-129 -> sparsebev_head.py:470-478)
+        ckpt_version = (payload.get("extra") or {}).get("version")
+        if ckpt_version:
+            from sparsebev_tpu.utils.version import VERSION
+            VERSION.name = str(ckpt_version)
+            logging.info("checkpoint version: %s", VERSION.name)
     else:
         logging.warning("no --weights given: evaluating a random-init model")
 
@@ -116,11 +124,15 @@ def main():
                 res = {k: np.asarray(v[i]) for k, v in dec.items()}
                 results_per_sample[token] = res
                 if "gt_boxes" in batch:
+                    m = batch["gt_mask"][i]
                     evaluator.add_sample(
                         res["bboxes"], res["scores"], res["labels"],
-                        batch["gt_boxes"][i][batch["gt_mask"][i]],
-                        batch["gt_labels"][i][batch["gt_mask"][i]],
-                        pred_mask=res["mask"], sample_token=token)
+                        batch["gt_boxes"][i][m], batch["gt_labels"][i][m],
+                        pred_mask=res["mask"], sample_token=token,
+                        ego_frame=(batch["ego_frame"][i]
+                                   if "ego_frame" in batch else None),
+                        gt_num_pts=(batch["gt_num_pts"][i][m]
+                                    if "gt_num_pts" in batch else None))
                 n_done += 1
             logging.info("evaluated %d samples", n_done)
         metrics = evaluator.evaluate() if evaluator._num_samples else None

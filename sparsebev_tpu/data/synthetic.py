@@ -81,11 +81,16 @@ def make_synthetic_dataset(root: str,
     for i in range(num_samples):
         ts = i * 0.5
         ego_xy = (i * 2.0, 0.0)
+        # scene-start keyframes carry NO sweeps, like gen_sweep_info (the
+        # reference only adds sweeps when sample['prev'] != '',
+        # gen_sweep_info.py:67) — load_online's cache-hit invariant
+        # depends on this shape
         sweeps = []
-        for k in range(sweeps_between):
-            sts = ts - 0.5 * (k + 1) / (sweeps_between + 1)
-            sweeps.append(cam_entry(i, f"s{i}_{k}", sts,
-                                    (ego_xy[0] - (k + 1) * 0.5, 0.0)))
+        if i > 0:
+            for k in range(sweeps_between):
+                sts = ts - 0.5 * (k + 1) / (sweeps_between + 1)
+                sweeps.append(cam_entry(i, f"s{i}_{k}", sts,
+                                        (ego_xy[0] - (k + 1) * 0.5, 0.0)))
         n_obj = rng.randint(1, max_objects + 1)
         gt_boxes = np.concatenate([
             rng.uniform(-30, 30, (n_obj, 2)),

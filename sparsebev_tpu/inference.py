@@ -227,8 +227,13 @@ class StreamingDetector:
         h, w = img.shape[2], img.shape[3]
         img = np.asarray(img)  # stay on host: upload ONLY uncached frames
 
-        keys = [filenames[i * n] if filenames else f"frame_{i}"
-                for i in range(t)]
+        # normalize to absolute paths: keyframe filenames arrive absolute
+        # from the dataset while sweep entries are relpath'd (reference
+        # loading.py:132) — the cache key must be identical for the same
+        # file in both roles
+        import os
+        keys = [os.path.abspath(filenames[i * n]) if filenames
+                else f"frame_{i}" for i in range(t)]
         protected = set(keys)
 
         def upload(i):

@@ -134,7 +134,10 @@ def test_loader_batches(synth_root):
     assert b["lidar2img"].shape == (2, 12, 4, 4)
     assert b["time_diff"].shape == (2, 2)
     assert (b["time_diff"][:, 0] == 0).all()
-    assert (b["time_diff"][:, 1] > 0).all()  # history frames are older
+    # sample 0 is a scene start (history = repeated keyframe, dt 0);
+    # all later samples have strictly older history
+    assert b["time_diff"][0, 1] == 0
+    assert (b["time_diff"][1:, 1] > 0).all()
     assert b["gt_boxes"].shape == (2, 8, 9)
     assert b["gt_mask"].dtype == bool
     # gravity center: z raised by h/2 relative to bottom-center storage

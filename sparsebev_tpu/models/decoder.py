@@ -161,13 +161,28 @@ class AdaptiveMixing(nn.Module):
         m = m.reshape(b * q, g, eff_in, eff_out)
         s = s.reshape(b * q, g, self.out_points, self.in_points)
 
+        def ln2(t, eps=1e-5):
+            # param-free LN over the trailing 2 dims with EINSUM statistics:
+            # sum/sumsq reduce in the producer's (bq-in-lanes) layout, so no
+            # standard-layout relayout copies appear between the dots and
+            # the LNs (the jnp.mean/var form cost ~3 ms/sample of pure
+            # copies at r50-900q, r3 profile). E[x^2]-E[x]^2 in fp32 on
+            # post-matmul O(1..10) values; oracle-tested vs torch.
+            t32 = t.astype(jnp.float32)
+            n = t.shape[-1] * t.shape[-2]
+            s1 = jnp.einsum("bgpc->bg", t32) / n
+            s2 = jnp.einsum("bgpc,bgpc->bg", t32, t32) / n
+            var = jnp.maximum(s2 - s1 * s1, 0.0)
+            rs = jax.lax.rsqrt(var + eps)
+            return (t32 - s1[..., None, None]) * rs[..., None, None]
+
         out = x.reshape(b * q, g, p, c).astype(cdt)
         # adaptive channel mixing: [P, Cin] @ [Cin, Cout]
         out = jnp.einsum("bgpc,bgcd->bgpd", out, m)
-        out = nn.relu(layer_norm_nd(out, 2))
+        out = nn.relu(ln2(out)).astype(cdt)
         # adaptive point mixing: [Pout, Pin] @ [Pin, C]
         out = jnp.einsum("bgop,bgpc->bgoc", s, out)
-        out = nn.relu(layer_norm_nd(out, 2))
+        out = nn.relu(ln2(out)).astype(cdt)
 
         out = out.reshape(b, q, -1)
         out = Linear(qd, dtype=self.dtype, name="out_proj")(out)

@@ -419,6 +419,12 @@ def _msmv_halfrow(qmajor: bool,
     c = packed.channels
     x, y, view, batch_row, k = _flat_point_geometry(
         packed, sampling_locations, qmajor)
+    # single materialization of the shared geometry (see _yfold_forward);
+    # in the VJP this also keeps the transposed graph flat-[K]-shaped
+    lw_levels = jnp.transpose(
+        scale_weights.reshape(k, num_levels)).astype(jnp.float32)  # [L, K]
+    x, y, view, batch_row, lw_levels = jax.lax.optimization_barrier(
+        (x, y, view, batch_row, lw_levels))
 
     out = jnp.zeros((k, c), jnp.float32)
     for lvl in range(num_levels):
@@ -427,7 +433,7 @@ def _msmv_halfrow(qmajor: bool,
         flat = packed.tables[lvl].reshape(-1, row_ch)
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x * (w - 1), y * (h - 1), h, w)
-        lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
+        lw = lw_levels[lvl]
         if packed.yfold[lvl]:
             row = packed.row_index(batch_row, view, ry, h) * (w + 1)
             wy = jnp.stack([wya, wyb], -1).astype(jnp.float32)  # [K, 2]
@@ -518,6 +524,18 @@ def _yfold_forward(qmajor: bool,
         start_index_map=(0, 1))
 
     acc_dtype = table_acc_dtype(packed)  # shared rule, see its docstring
+
+    # Materialize the shared per-point geometry and the level weights ONCE
+    # in flat [K] layout. Without the barrier XLA re-derives each from the
+    # [Q, S, P]-shaped producers inside every level's fusion, paying a
+    # lane->sublane relayout copy per level per layer (~3 ms/sample at
+    # r50-900q, measured r3 profile: 0.6 ms x 5 copies of
+    # f32[900,32,4,1]{0,1,3,2}->{2,1,0,3}).
+    lw_levels = jnp.transpose(
+        scale_weights.reshape(k, num_levels)).astype(jnp.float32)  # [L, K]
+    x, y, view, batch_row, lw_levels = jax.lax.optimization_barrier(
+        (x, y, view, batch_row, lw_levels))
+
     out = jnp.zeros((k, c), acc_dtype)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]
@@ -528,7 +546,7 @@ def _yfold_forward(qmajor: bool,
                 and packed.mxu_tables[lvl] is not None):
             # MXU one-hot path (separable bilinear weights; see msmv_pallas)
             from .msmv_pallas import onehot_sample_level
-            lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
+            lw = lw_levels[lvl]
             x0f = jnp.floor(x_pix)
             y0f = jnp.floor(y_pix)
             lx = x_pix - x0f
@@ -563,7 +581,7 @@ def _yfold_forward(qmajor: bool,
 
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x_pix, y_pix, h, w)
-        lw = scale_weights[..., lvl].reshape(k).astype(jnp.float32)
+        lw = lw_levels[lvl]
         wx = jnp.stack([wxa, wxb], -1)                        # [K, 2]
 
         if packed.yfold[lvl]:
@@ -578,8 +596,9 @@ def _yfold_forward(qmajor: bool,
             # reduce in the TAP dtype with an fp32-accumulating sum: an
             # einsum (or an fp32 upcast of the taps) lowers to a dot/copy
             # that relayouts the [K, 2, 2C] gather output to fp32 K-minor
-            # inside the decoder scan (4.3 ms/sample measured); this form
-            # fuses over the bf16 taps.
+            # inside the decoder scan (4.3 ms/sample measured); an explicit
+            # 4x [K, C]-slice-product form was also tried (r3) and lost
+            # ~1 ms/sample vs this form.
             taps = g.reshape(k, 4, c)
             prod = taps * w4[:, :, None].astype(taps.dtype)
             out = out + jnp.sum(prod, axis=1,

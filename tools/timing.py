@@ -41,6 +41,9 @@ def parse_args():
                         help="query-sharded decoder over ALL visible devices "
                              "(parallel/query_parallel.py): divides the "
                              "sampling-gather latency by the device count")
+    parser.add_argument("--override", nargs="+", default=None,
+                        help="dotted config overrides, e.g. "
+                             "model.pts_bbox_head.num_query=400")
     return parser.parse_args()
 
 
@@ -107,6 +110,8 @@ def main():
 
     init_logging()
     cfg = Config.fromfile(args.config)
+    if args.override:
+        cfg.merge_from_dict(dict(kv.split("=", 1) for kv in args.override))
     model, aux = build_model(cfg)
 
     num_frames = cfg.model["pts_bbox_head"]["num_frames"]

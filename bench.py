@@ -1,73 +1,97 @@
-"""Benchmark: streaming (online) inference FPS of the flagship
-r50_nuimg_704x256 model on one chip — the reference's headline speed metric
-(/root/reference/timing.py:77-96, README: 15.8 FPS on an RTX 3090 fp32).
+"""Benchmark: streaming (online) inference FPS of every measurable config on
+one chip — the reference's headline speed surface
+(/root/reference/timing.py:77-96 + README model zoo: 15.8 / 23.5 / 6.5 FPS on
+an RTX 3090 fp32 for r50-900q / r50-400q / r101; no published FPS for the
+1600x640 vov99/eva02 settings).
 
 Streaming semantics (reference models/sparsebev.py:255-321): per sample only
-the NEWEST frame's 6 views go through the backbone; the 7 history frames'
-features come from the cache. TPU-native cache design: the decoder's grouped
-y-fold sampling tables live in a device-side ring (ops.msmv_sampling
+the NEWEST frame's 6 views go through the backbone; history features come
+from the cache. TPU-native cache design: the decoder's grouped y-fold
+sampling tables live in a device-side ring (ops.msmv_sampling
 ring_update/ring_packed) — per sample the new frame is packed into one ring
 slot with a contiguous in-place dynamic_update_slice, and the decoder reads
-history through a [T]-slot indirection. History features are never copied
-or re-packed (the concat+repack formulation cost ~7 ms/sample of the 64 ms
-round-1 total). The in-jit loop carries the ring, so each iteration has a
-real data dependency on the previous one.
+history through a [T]-slot indirection. The in-jit loop carries the ring, so
+each iteration has a real data dependency on the previous one.
 
 Timing notes: through the axon tunnel a single host->device round trip costs
 ~30 ms, so per-call host timing lies; we run ITERS iterations inside one jit
 and read back one scalar (see .claude/skills/verify/SKILL.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line PER CONFIG as each finishes (flagship first, so a
+truncated run still yields the headline number):
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
+import gc
 import json
+import logging
 import time
+import traceback
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from __graft_entry__ import _build_model
-from sparsebev_tpu.inference import make_ring_bench
+# (metric name, config path, iters, published reference FPS or None)
+CONFIGS = [
+    ("r50_nuimg_704x256_streaming_fps",
+     "configs/r50_nuimg_704x256.py", 20, 15.8),
+    ("r50_nuimg_704x256_400q_streaming_fps",
+     "configs/r50_nuimg_704x256_400q_36ep.py", 40, 23.5),
+    ("r101_nuimg_1408x512_streaming_fps",
+     "configs/r101_nuimg_1408x512.py", 10, 6.5),
+    ("vov99_dd3d_1600x640_streaming_fps",
+     "configs/vov99_dd3d_1600x640_trainval_future.py", 6, None),
+    ("vit_eva02_1600x640_streaming_fps",
+     "configs/vit_eva02_1600x640_trainval_future.py", 4, None),
+]
 
-BASELINE_FPS = 15.8  # RTX 3090 fp32, reference README.md:28,36
-ITERS = 20
 
+def bench_config(cfg_path: str, iters: int) -> float:
+    import jax
+    import jax.numpy as jnp
 
-def main():
-    num_frames, h, w = 8, 256, 704
-    model = _build_model(num_query=900, num_frames=num_frames, embed_dims=256,
-                         num_points=4, num_layers=6, image_hw=(h, w),
-                         compute_dtype=jnp.bfloat16)
+    from sparsebev_tpu.config import Config
+    from sparsebev_tpu.builder import build_model
+    from sparsebev_tpu.inference import init_streaming_variables, \
+        make_ring_bench
+
+    cfg = Config.fromfile(cfg_path)
+    model, _ = build_model(cfg)
+    num_frames = cfg.model["pts_bbox_head"]["num_frames"]
+    fh, fw = cfg.ida_aug_conf["final_dim"]
+
     rng = np.random.RandomState(0)
-    frame = jnp.asarray(rng.uniform(0, 255, (1, 6, h, w, 3)).astype(np.float32))
-    lidar2img = jnp.asarray(rng.randn(1, num_frames * 6, 4, 4).astype(np.float32))
-    time_diff = jnp.asarray(np.linspace(0.0, 3.5, num_frames, dtype=np.float32)[None])
+    frame = jnp.asarray(
+        rng.uniform(0, 255, (1, 6, fh, fw, 3)).astype(np.float32))
+    l2i = jnp.asarray(rng.randn(1, num_frames * 6, 4, 4).astype(np.float32))
+    td = jnp.asarray(np.linspace(0, 0.5 * (num_frames - 1), num_frames,
+                                 dtype=np.float32)[None])
 
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
-        jnp.tile(frame, (1, num_frames, 1, 1, 1)), lidar2img, time_diff,
-        train=False)
-
-    loop_for, ring = make_ring_bench(
-        model, variables, frame, lidar2img, time_diff, num_frames, h, w)
-    bench_loop = loop_for(ITERS)
-
-    # compile + warm
-    ring, acc = bench_loop(variables, ring, frame)
+    variables = init_streaming_variables(model, frame, l2i, td, fh, fw)
+    loop_for, ring = make_ring_bench(model, variables, frame, l2i, td,
+                                     num_frames, fh, fw)
+    bench_loop = loop_for(iters)
+    ring, acc = bench_loop(variables, ring, frame)  # compile + warm
     float(acc)
     t0 = time.perf_counter()
     ring, acc = bench_loop(variables, ring, frame)
     float(acc)
-    dt = (time.perf_counter() - t0) / ITERS
-    fps = 1.0 / dt
+    dt = (time.perf_counter() - t0) / iters
+    del ring, variables
+    return 1.0 / dt
 
-    print(json.dumps({
-        "metric": "r50_nuimg_704x256_streaming_fps",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+
+def main():
+    for metric, cfg_path, iters, baseline in CONFIGS:
+        try:
+            fps = bench_config(cfg_path, iters)
+            row = {"metric": metric, "value": round(fps, 2), "unit": "fps"}
+            if baseline is not None:
+                row["vs_baseline"] = round(fps / baseline, 3)
+            print(json.dumps(row), flush=True)
+        except Exception:
+            logging.error("bench %s failed:\n%s", cfg_path,
+                          traceback.format_exc())
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -182,3 +182,21 @@ def test_streaming_uncached_history_fails_loudly(synth_ann):
     with pytest.raises(RuntimeError, match="not cached"):
         det.infer(late["img"], late["lidar2img"], late["time_diff"],
                   late["img_metas"][0].get("filename", []))
+
+
+def test_parity_runner_dry_run(tmp_path):
+    """tools/parity.py --synthetic: the one-command NDS parity workflow
+    (port -> save -> val -> diff) dry-runs end to end so a real checkpoint
+    converts to a result the day data mounts (VERDICT r2 #9)."""
+    import json
+    out = _run([sys.executable, "tools/parity.py",
+                "--config", "configs/smoke_synthetic.py",
+                "--synthetic", "--platform", "cpu", "--limit", "4",
+                "--expected-nds", "0.0",
+                "--work-dir", str(tmp_path / "parity")],
+               timeout=1200)
+    assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["nds"] is not None
+    assert os.path.exists(tmp_path / "parity" / "submission.json")
+    assert os.path.exists(tmp_path / "parity" / "parity.json")

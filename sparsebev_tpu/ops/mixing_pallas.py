@@ -103,6 +103,77 @@ def mixing_core_tpu(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
     return out[:bq * g].reshape(bq, g, o, c)
 
 
+def _mixing_kernel_batched(x_ref, m_ref, s_ref, o_ref, *, eps):
+    """Batched formulation: ONE dot_general with a single batch dim per
+    phase (the fold of (BQ, G) into one axis happens host-side), LN stats
+    via nested non-keepdims reduces + explicit broadcast_to. This is the
+    formulation the r2 Mosaic compiler rejected; re-tried r3 with the
+    stats reshaped away from 3D keepdims."""
+    blk = x_ref.shape[0]
+    x = x_ref[...]
+    m = m_ref[...]
+    h1 = jax.lax.dot_general(
+        x, m, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [blk, P, C]
+    n1 = h1.shape[1] * h1.shape[2]
+    mu = jnp.sum(jnp.sum(h1, axis=2), axis=1) / n1     # [blk]
+    sq = jnp.sum(jnp.sum(h1 * h1, axis=2), axis=1) / n1
+    var = jnp.maximum(sq - mu * mu, 0.0)
+    rs = jax.lax.rsqrt(var + eps)
+    mu3 = jnp.broadcast_to(mu[:, None, None], h1.shape)
+    rs3 = jnp.broadcast_to(rs[:, None, None], h1.shape)
+    h1 = jnp.maximum((h1 - mu3) * rs3, 0.0)
+
+    h2 = jax.lax.dot_general(
+        s_ref[...], h1.astype(s_ref.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [blk, O, C]
+    n2 = h2.shape[1] * h2.shape[2]
+    mu2 = jnp.sum(jnp.sum(h2, axis=2), axis=1) / n2
+    sq2 = jnp.sum(jnp.sum(h2 * h2, axis=2), axis=1) / n2
+    var2 = jnp.maximum(sq2 - mu2 * mu2, 0.0)
+    rs2 = jax.lax.rsqrt(var2 + eps)
+    mu23 = jnp.broadcast_to(mu2[:, None, None], h2.shape)
+    rs23 = jnp.broadcast_to(rs2[:, None, None], h2.shape)
+    o_ref[...] = jnp.maximum((h2 - mu23) * rs23, 0.0).astype(o_ref.dtype)
+
+
+def mixing_core_tpu_batched(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
+                            eps: float = 1e-5, bq_blk: int = 32,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Batched-dot variant of :func:`mixing_core_tpu` (same contract)."""
+    bq, g, p, c = x.shape
+    o = s.shape[2]
+    blk = bq_blk * g
+    x = x.reshape(bq * g, p, c)
+    m = m.reshape(bq * g, c, c)
+    s = s.reshape(bq * g, o, p)
+    pad = (-(bq * g)) % blk
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        m = jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
+        s = jnp.pad(s, ((0, pad), (0, 0), (0, 0)))
+    n = bq * g + pad
+    kernel = functools.partial(_mixing_kernel_batched, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, o, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, o, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, o, c), x.dtype),
+        interpret=interpret,
+    )(x, m, s)
+    return out[:bq * g].reshape(bq, g, o, c)
+
+
 def _mixing_core_xla(x, m, s, eps=1e-5):
     """Reference XLA formulation (bwd primal + CPU fallback)."""
     def ln2(t):

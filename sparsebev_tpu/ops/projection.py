@@ -103,38 +103,95 @@ def project_points(sample_points: jnp.ndarray,
     return loc, valid_sel.reshape(b, t, q, gp)
 
 
-def sampling_4d(sample_points: jnp.ndarray,
+def project_points_qmajor(pts_q: jnp.ndarray,
+                          lidar2img: jnp.ndarray,
+                          image_h: int, image_w: int,
+                          num_views: int = 6,
+                          eps: float = 1e-5):
+    """Query-major variant of :func:`project_points` — same math, but the
+    points arrive (and the locations leave) already in the decoder's
+    (q, b, g, t, p) memory order, so the final fold into the gather layout
+    is a pure reshape instead of a 6D transpose (~0.9 ms/sample at
+    r50-900q, r3 profile).
+
+    pts_q: ``[Q, B, G, T, P, 3]``. Returns loc ``[Q, B*G*T, P, 3]`` and
+    valid ``[Q, B*G*T, P]``.
+    """
+    qq, b, g, t, p, _ = pts_q.shape
+    n = num_views
+    l2i = lidar2img.reshape(b, t, n, 4, 4)
+    pts_h = jnp.concatenate([pts_q, jnp.ones_like(pts_q[..., :1])], axis=-1)
+    # per-point (N, 4) results on the minor axes (see project_points)
+    cam = jnp.einsum("btnij,qbgtpj->qbgtpni", l2i, pts_h,
+                     precision=jax.lax.Precision.HIGHEST)
+
+    homo = cam[..., 2]
+    homo_nonzero = jnp.maximum(homo, eps)
+    xy = cam[..., 0:2] / homo_nonzero[..., None]
+    xy = xy / jnp.asarray([image_w, image_h], dtype=xy.dtype)
+    valid = ((homo > eps)
+             & (xy[..., 0] > 0.0) & (xy[..., 0] < 1.0)
+             & (xy[..., 1] > 0.0) & (xy[..., 1] < 1.0))
+    view = jnp.argmax(valid, axis=-1)
+    onehot = (jnp.arange(n, dtype=jnp.int32) == view[..., None])
+    xy_sel = jnp.sum(xy * onehot[..., None], axis=-2)
+    valid_sel = jnp.sum(valid & onehot, axis=-1).astype(xy.dtype)
+    view_coord = view.astype(xy.dtype) / (n - 1)
+    loc = jnp.concatenate([xy_sel, view_coord[..., None]], axis=-1)
+    return (loc.reshape(qq, b * g * t, p, 3),
+            valid_sel.reshape(qq, b * g * t, p))
+
+
+def sampling_4d(sample_points: Optional[jnp.ndarray],
                 mlvl_feats: Sequence[jnp.ndarray],
                 scale_weights: jnp.ndarray,
                 lidar2img: jnp.ndarray,
                 image_h: int, image_w: int,
                 num_views: int = 6,
                 eps: float = 1e-5,
-                debug_out: Optional[dict] = None) -> jnp.ndarray:
+                debug_out: Optional[dict] = None,
+                sample_points_q: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Spatio-temporal multi-view sampling (models/sparsebev_sampling.py:27-130).
 
     Args:
-      sample_points: ``[B, Q, T, G, P, 3]`` world-space points.
+      sample_points: ``[B, Q, T, G, P, 3]`` world-space points (may be None
+        when ``sample_points_q`` is given).
       mlvl_feats: list of ``[B*T*G, N, H_l, W_l, C]`` channel-last pyramids.
       scale_weights: ``[B, Q, G, T, P, L]`` softmaxed level weights.
       lidar2img: ``[B, T*N, 4, 4]``.
       debug_out: optional dict populated with projection intermediates
         (the DUMP mechanism, models/sparsebev_sampling.py:82-86).
+      sample_points_q: optional ``[Q, B, G, T, P, 3]`` query-major points —
+        the fast path: callers that BUILD the points in this order (the
+        decoder) skip the loc 6D transpose entirely
+        (:func:`project_points_qmajor`).
     Returns:
       ``[B, Q, G, T*P, C]`` sampled features, in the sampling accumulator
       dtype (the table dtype — bf16 for bf16 configs; see
       ``msmv_sampling.table_acc_dtype``).
     """
-    b, q, t, g, p, _ = sample_points.shape
     n = num_views
     num_levels = scale_weights.shape[-1]
 
-    pts = sample_points.reshape(b, q, t, g * p, 3)
-    loc, valid = project_points(pts, lidar2img, image_h, image_w, n, eps)
-
-    if debug_out is not None:
-        debug_out["sample_points_cam"] = loc
-        debug_out["valid_mask"] = valid
+    if sample_points_q is not None:
+        q, b, g, t, p, _ = sample_points_q.shape
+        loc, valid = project_points_qmajor(sample_points_q, lidar2img,
+                                           image_h, image_w, n, eps)
+        if debug_out is not None:
+            # debug consumers expect the [B, T, Q, GP] order
+            lv = loc.reshape(q, b, g, t, p, 3)
+            debug_out["sample_points_cam"] = jnp.transpose(
+                lv, (1, 3, 0, 2, 4, 5)).reshape(b, t, q, g * p, 3)
+            debug_out["valid_mask"] = jnp.transpose(
+                valid.reshape(q, b, g, t, p), (1, 3, 0, 2, 4)
+            ).reshape(b, t, q, g * p)
+    else:
+        b, q, t, g, p, _ = sample_points.shape
+        pts = sample_points.reshape(b, q, t, g * p, 3)
+        loc, valid = project_points(pts, lidar2img, image_h, image_w, n, eps)
+        if debug_out is not None:
+            debug_out["sample_points_cam"] = loc
+            debug_out["valid_mask"] = valid
 
     from .msmv_sampling import (PackedFeatures, pack_mlvl_feats_grouped,
                                 get_sampling_impl)
@@ -158,8 +215,10 @@ def sampling_4d(sample_points: jnp.ndarray,
     # feature-domain 6D transpose (a ~30 MB relayout per decoder layer);
     # the transposes happen on the 3-float locations / L-float weights.
     # [B, T, Q, G, P, 3] -> [Q, B, G, T, P, 3] -> [Q, B*G*T, P, 3]
-    loc = loc.reshape(b, t, q, g, p, 3)
-    loc = jnp.transpose(loc, (2, 0, 3, 1, 4, 5)).reshape(q, b * g * t, p, 3)
+    if sample_points_q is None:
+        loc = loc.reshape(b, t, q, g, p, 3)
+        loc = jnp.transpose(loc, (2, 0, 3, 1, 4, 5)).reshape(
+            q, b * g * t, p, 3)
 
     # weight pairing preserves the reference's (B, G, T) fold quirk (module
     # docstring): loc slice (g, t) — whose reference flat position within a

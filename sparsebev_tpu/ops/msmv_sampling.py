@@ -582,7 +582,6 @@ def _yfold_forward(qmajor: bool,
         sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
             x_pix, y_pix, h, w)
         lw = lw_levels[lvl]
-        wx = jnp.stack([wxa, wxb], -1)                        # [K, 2]
 
         if packed.yfold[lvl]:
             row = packed.row_index(batch_row, view, ry, h)
@@ -590,24 +589,39 @@ def _yfold_forward(qmajor: bool,
             g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,
                                slice_sizes=(1, 2, 2 * c),
                                mode="promise_in_bounds")      # [K, 1, 2, 2C]
-            wmat = wx[:, :, None] * jnp.stack([wya, wyb], -1)[:, None, :]
-            w4 = (wmat * lw[:, None, None]).reshape(k, 4)     # fp32 weights
-            # contraction over the 4 taps as explicit slice products in the
-            # TAP dtype with fp32 adds. Measured r3 (r50-900q, whole
-            # streaming sample): this form 50.7 ms; jnp.sum(axis=1) 51.9 ms
-            # (XLA relayouts the [K, 2, 2C] gather output to K-minor);
-            # einsum 4.3 ms extra; deferring all levels to the fused Pallas
-            # epilogue (ops/msmv_epilogue_pallas.py, STATUS there) 53.2 ms —
-            # its kernel beats the XLA reduce but the gather fusion regrows
-            # ~5 ms with a custom-call consumer and the [K, 4] weight
-            # relayout costs another 2.3 ms.
-            taps = g.reshape(k, 4, c)
-            prod = taps * w4[:, :, None].astype(taps.dtype)
-            lvl_out = ((prod[:, 0].astype(jnp.float32)
-                        + prod[:, 1].astype(jnp.float32))
-                       + (prod[:, 2].astype(jnp.float32)
-                          + prod[:, 3].astype(jnp.float32)))
+            # tap contraction WITHOUT the (2, 2C) -> (4, C) reshape: that
+            # reshape splits the lane dim, so XLA relayout-copies the whole
+            # gather output to K-minor before the multiplies (~0.7 ms copy
+            # + ~1.05 ms K-minor multiply per level, r3 profile). Slicing
+            # the window dim (x taps) and the lane halves (y-folded
+            # channels) keeps every op in the gather's native channel-minor
+            # layout: x fold as bf16 products with fp32 adds, then the y/
+            # level weights fold in fp32. Measured (micro-bench at exact
+            # shapes, 2026-08-17): 5.76 vs 6.64 ms/layer for gather+fold.
+            # Ruled out earlier: jnp.sum(axis=1) (+1.2 ms), einsum
+            # (+4.3 ms), fused Pallas epilogue
+            # (ops/msmv_epilogue_pallas.py STATUS: gather fusion regrows
+            # ~5 ms with a custom-call consumer).
+            g2 = g[:, 0]                                      # [K, 2, 2C]
+            xa = wxa[:, None].astype(g2.dtype)
+            xb = wxb[:, None].astype(g2.dtype)
+            ya = (wya * lw)[:, None]
+            yb = (wyb * lw)[:, None]
+            # single expression, 4 lane/window slices of g2, one output:
+            # a two-stage form (row = x-fold; then slice row twice for the
+            # y-fold) gives `row` two consumers, XLA splits it into two
+            # fusions per level, and the materialized fp32 [K, 2C]
+            # intermediates evict the gather outputs from VMEM (+5 ms on
+            # the gathers themselves, r3 profile)
+            lvl_out = (((g2[:, 0, :c] * xa).astype(jnp.float32)
+                        + (g2[:, 1, :c] * xb).astype(jnp.float32)) * ya
+                       + ((g2[:, 0, c:] * xa).astype(jnp.float32)
+                          + (g2[:, 1, c:] * xb).astype(jnp.float32)) * yb)
             out = out + lvl_out.astype(acc_dtype)
+            # barrier the accumulator each level: otherwise XLA merges the
+            # four level adds into ONE fusion over all four level folds,
+            # whose combined inputs again blow the VMEM budget
+            out = jax.lax.optimization_barrier(out)
         else:
             # memory mode: one (1, 2, C) x-window gather per y tap. wyb is
             # already 0 whenever row ry+1 would be invalid, so the clamp is
@@ -619,10 +633,14 @@ def _yfold_forward(qmajor: bool,
                 g = jax.lax.gather(packed.tables[lvl], starts, window_dnums,
                                    slice_sizes=(1, 2, c),
                                    mode="promise_in_bounds")  # [K, 1, 2, C]
-                w2 = wx * (wy * lw)[:, None]                  # [K, 2]
-                taps = g.reshape(k, 2, c)
-                prod = taps * w2[:, :, None].astype(taps.dtype)
-                out = out + jnp.sum(prod, axis=1,
-                                    dtype=jnp.float32).astype(acc_dtype)
+                # window-dim slices + [K, 1] broadcasts: same lane-layout
+                # rationale as the yfold branch above (no K-minor relayout)
+                g2 = g[:, 0]                                  # [K, 2, C]
+                wyl = wy * lw
+                w0 = (wxa * wyl)[:, None].astype(g2.dtype)
+                w1 = (wxb * wyl)[:, None].astype(g2.dtype)
+                lvl_out = ((g2[:, 0] * w0).astype(jnp.float32)
+                           + (g2[:, 1] * w1).astype(jnp.float32))
+                out = out + lvl_out.astype(acc_dtype)
 
     return out.reshape(d0, d1, p, c)  # [S, Q, P, C] or [Q, S, P, C]

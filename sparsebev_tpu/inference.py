@@ -29,6 +29,28 @@ import numpy as np
 from .ops.msmv_sampling import ring_init, ring_packed, ring_update
 
 
+def compiler_options_from_env():
+    """Optional per-jit XLA:TPU compiler overrides from the environment.
+
+    ``SPARSEBEV_COMPILER_OPTIONS="k=v,k2=v2"`` → dict for
+    ``jax.jit(compiler_options=...)``. Used by the streaming bench jits so
+    flags like ``xla_tpu_scoped_vmem_limit_kib`` can be A/B-tested without
+    process-level XLA_FLAGS (which the axon client rejects for TPU flags).
+    Returns None (compiler defaults) when unset.
+    """
+    import os
+
+    spec = os.environ.get("SPARSEBEV_COMPILER_OPTIONS", "").strip()
+    if not spec:
+        return None
+    out = {}
+    for item in spec.split(","):
+        k, _, v = item.partition("=")
+        if k.strip():
+            out[k.strip()] = v.strip()
+    return out or None
+
+
 def init_streaming_variables(model, frame, lidar2img, time_diff,
                              image_h: int, image_w: int, seed: int = 0):
     """Initialize model variables WITHOUT a full T-frame forward.
@@ -128,7 +150,8 @@ def make_ring_bench(model, variables, frame, lidar2img, time_diff,
         return ring, preds
 
     def loop_for(iters: int):
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           compiler_options=compiler_options_from_env())
         def loop_fn(variables, ring, frame):
             def body(i, carry):
                 ring, acc = carry

@@ -177,9 +177,9 @@ class _EinsumOutProj(nn.Module):
 
 
 class _PreshapedGeneratorDense(nn.Module):
-    """The mixing parameter generator's Dense, computed as TWO einsums
-    against pre-shaped weight views instead of one packed matmul + slice +
-    lane-splitting reshapes.
+    """The mixing parameter generator's Dense, computed as TWO plain 2-D
+    GEMMs against group-contiguous flattened weight views instead of one
+    packed matmul + activation slice + lane-splitting reshapes.
 
     Param tree is byte-identical to ``Linear(name="parameter_generator")``
     (``parameter_generator/linear/{kernel,bias}``, kernel ``[E, G*(M+S)]``),
@@ -188,10 +188,19 @@ class _PreshapedGeneratorDense(nn.Module):
     Why: slicing the packed ``[BQ, G*(M+S)]`` activation and reshaping to
     ``m [BQ,G,C,D]`` / ``s [BQ,G,O,P]`` splits the lane dimension, which XLA
     implements as relayout copies of both 30 MB tensors (~2.4 ms/sample at
-    r50-900q, r3 profile: decoder.py:207-209). Pre-shaping the WEIGHT
-    instead is free: the views are loop-invariant (hoisted out of the
-    streaming/scan loop) and the dot emits m/s directly in 4-D layout.
-    Measured: 1.632 -> 1.376 ms/layer for the full mixing block.
+    r50-900q). Pre-shaping the WEIGHT instead is free: the views are
+    loop-invariant (hoisted out of the streaming/scan loop) and the dot
+    emits m/s directly in 4-D layout. Measured: 1.632 -> 1.376 ms/layer for
+    the full mixing block.
+
+    A/B'd alternative (2026-08-17, REJECTED): plain 2-D GEMMs
+    ``[BQ,E]@[E,G*M]`` against group-contiguous flat weight views, with the
+    4-D reshape as a free bitcast of the ``{1,0}`` output. The einsum form
+    lowers to a convolution fusion with a batch-minor ``{0,3,2,1}`` output
+    + a 1.24 ms relayout copy (r3 profile), which looked like pure waste —
+    but the full streaming loop measured 49.89 ms/sample for the GEMM form
+    vs 48.89 for the einsum form: XLA's layout choices around the conv
+    fusion are net better in context. Keep the einsum.
     """
 
     n_groups: int

@@ -42,6 +42,52 @@ class FrozenBatchNorm(nn.Module):
                           * scale).astype(dtype)
 
 
+def _folded_conv_bn(mod: nn.Module, conv_name: str, bn_name: str, x,
+                    features: int, ksize, strides=(1, 1), padding="VALID",
+                    dtype=None, epsilon: float = 1e-5):
+    """conv + FrozenBatchNorm computed as ONE conv: ``conv(x, w*s) + t``.
+
+    FrozenBN is an affine per-channel map ``y = x*s + t`` with
+    ``s = scale/sqrt(var+eps)``, ``t = bias - mean*s`` (running stats, never
+    updated), so it folds into the conv weights by linearity — identical
+    math AND identical gradients w.r.t. (kernel, scale, bias) since the
+    function is unchanged, only reassociated. Why: as separate ops each BN
+    costs a full feature-map HBM round trip after its conv (XLA emits them
+    as standalone multiply_add fusions, ~1.5-2 ms/sample across the r50
+    backbone, r3 profile). The folded weight is loop-invariant in the
+    streaming/scan loop, so the fold itself is hoisted and free.
+
+    Param tree is byte-identical to ``nn.Conv(name=conv_name)`` +
+    ``FrozenBatchNorm(name=bn_name)`` (paths ``{conv_name}/kernel``,
+    ``{bn_name}/{scale,bias}``, batch_stats ``{bn_name}/{mean,var}``; same
+    initializers, and flax derives init RNG from the param path, so fresh
+    inits match too).
+    """
+    kh, kw = ksize
+    cin = x.shape[-1]
+    csc = mod.scope.push(conv_name)
+    kernel = csc.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, cin, features))
+    bsc = mod.scope.push(bn_name)
+    scale = bsc.param("scale", nn.initializers.ones, (features,))
+    bias = bsc.param("bias", nn.initializers.zeros, (features,))
+    mean = bsc.variable("batch_stats", "mean",
+                        lambda: jnp.zeros((features,), jnp.float32)).value
+    var = bsc.variable("batch_stats", "var",
+                       lambda: jnp.ones((features,), jnp.float32)).value
+    inv = jax.lax.rsqrt(var + epsilon) * scale
+    w = kernel * inv[None, None, None, :]
+    t = bias - mean * jax.lax.rsqrt(var + epsilon) * scale
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+        t = t.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + t
+
+
 class Bottleneck(nn.Module):
     """pytorch-style bottleneck: 1x1 -> 3x3(stride) -> 1x1 (x4), residual."""
 
@@ -52,22 +98,19 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        cbn = partial(_folded_conv_bn, self, dtype=self.dtype)
         identity = x
-        out = conv(self.planes, (1, 1), name="conv1")(x)
-        out = FrozenBatchNorm(name="bn1")(out)
+        out = cbn("conv1", "bn1", x, self.planes, (1, 1))
         out = nn.relu(out)
-        out = conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                   padding=((1, 1), (1, 1)), name="conv2")(out)
-        out = FrozenBatchNorm(name="bn2")(out)
+        out = cbn("conv2", "bn2", out, self.planes, (3, 3),
+                  strides=(self.stride, self.stride),
+                  padding=((1, 1), (1, 1)))
         out = nn.relu(out)
-        out = conv(self.planes * 4, (1, 1), name="conv3")(out)
-        out = FrozenBatchNorm(name="bn3")(out)
+        out = cbn("conv3", "bn3", out, self.planes * 4, (1, 1))
         if self.downsample:
-            identity = conv(self.planes * 4, (1, 1),
-                            strides=(self.stride, self.stride),
-                            name="downsample_conv")(x)
-            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+            identity = cbn("downsample_conv", "downsample_bn", x,
+                           self.planes * 4, (1, 1),
+                           strides=(self.stride, self.stride))
         return nn.relu(out + identity)
 
 
@@ -89,11 +132,10 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         blocks = _STAGE_BLOCKS[self.depth][: self.num_stages]
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
 
-        x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                 name="conv1")(x)
-        x = FrozenBatchNorm(name="bn1")(x)
+        x = _folded_conv_bn(self, "conv1", "bn1", x, 64, (7, 7),
+                            strides=(2, 2), padding=((3, 3), (3, 3)),
+                            dtype=self.dtype)
         x = nn.relu(x)
         # torch maxpool 3x3 stride 2 pad 1
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),

@@ -620,7 +620,11 @@ def _yfold_forward(qmajor: bool,
             out = out + lvl_out.astype(acc_dtype)
             # barrier the accumulator each level: otherwise XLA merges the
             # four level adds into ONE fusion over all four level folds,
-            # whose combined inputs again blow the VMEM budget
+            # whose combined inputs again blow the VMEM budget (also
+            # A/B'd 2026-08-17: barrier every SECOND level = 50.12
+            # ms/sample vs 48.89 with the per-level barrier — the merged
+            # fusion's extra VMEM pressure costs more than the saved
+            # accumulator round trip)
             out = jax.lax.optimization_barrier(out)
         else:
             # memory mode: one (1, 2, C) x-window gather per y tap. wyb is

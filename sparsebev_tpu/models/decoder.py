@@ -281,6 +281,10 @@ class AdaptiveMixing(nn.Module):
 
         out = x.reshape(b * q, g, p, c).astype(cdt)
         # adaptive channel mixing: [P, Cin] @ [Cin, Cout]
+        # (A/B'd 2026-08-17, WASH: the fully transposed chain — m emitted
+        # [BQ,G,D,C] so both mixes contract the MINOR dim of both operands
+        # — measured 48.86 vs 48.69 ms/sample; XLA's layout assignment is
+        # already at a local optimum here, keep the reference-shaped form)
         out = jnp.einsum("bgpc,bgcd->bgpd", out, m)
         out = nn.relu(ln2(out)).astype(cdt)
         # adaptive point mixing: [Pout, Pin] @ [Pin, C]
@@ -362,7 +366,7 @@ class SparseBEVTransformerDecoderLayer(nn.Module):
 
     def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,
                  lidar2img, time_diff, image_h, image_w,
-                 deterministic: bool = True):
+                 deterministic: bool = True, with_cls: bool = True):
         query_pos = self.position_encoder(query_bbox[..., :3])
         query_feat = query_feat + query_pos
 
@@ -373,10 +377,15 @@ class SparseBEVTransformerDecoderLayer(nn.Module):
         query_feat = self.norm2(self.mixing(sampled, query_feat))
         query_feat = self.norm3(self.ffn(query_feat, deterministic=deterministic))
 
-        cls_feat = query_feat
-        for fc, ln in zip(self.cls_fcs, self.cls_lns):
-            cls_feat = nn.relu(ln(fc(cls_feat)))
-        cls_score = self.cls_out(cls_feat).astype(jnp.float32)
+        if with_cls:
+            cls_feat = query_feat
+            for fc, ln in zip(self.cls_fcs, self.cls_lns):
+                cls_feat = nn.relu(ln(fc(cls_feat)))
+            cls_score = self.cls_out(cls_feat).astype(jnp.float32)
+        else:
+            # inference-only skip (see SparseBEVTransformer): intermediate
+            # layers' classification feeds nothing at decode time
+            cls_score = None
 
         reg_feat = query_feat
         for fc in self.reg_fcs:
@@ -485,6 +494,40 @@ class SparseBEVTransformer(nn.Module):
                 bbox_preds.append(bbox_pred)
             cls_scores = jnp.stack(cls_scores)
             bbox_preds = jnp.stack(bbox_preds)
+        elif deterministic and self.num_layers > 1:
+            # INFERENCE: only the final layer's classification is ever
+            # decoded (reference get_bboxes reads cls_scores[-1],
+            # sparsebev_head.py:462-482), but under one scan over all 6
+            # weight-shared layers XLA cannot dead-code the 5 intermediate
+            # cls branches. Scan the first L-1 layers with the cls branch
+            # statically skipped, then run the SAME module (shared params)
+            # once more unrolled with the branch on. Intermediate slots of
+            # the returned [L, ...] cls_scores are filled with -1e4
+            # ("no object": sigmoid ~ 0) — every inference consumer
+            # (NMSFreeCoder, val/eval loops, StreamingDetector) reads [-1].
+            def body(layer, carry, _):
+                query_bbox, query_feat = carry
+                query_feat, _, bbox_pred = layer(
+                    query_bbox, query_feat, grouped, attn_mask,
+                    lidar2img, time_diff, image_h, image_w, deterministic,
+                    False)
+                new_bbox = jax.lax.stop_gradient(bbox_pred)
+                return (new_bbox, query_feat), bbox_pred
+
+            scan = nn.scan(
+                body, variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                length=self.num_layers - 1)
+            layer = layer_cls(**layer_kwargs, name="decoder_layer")
+            (query_bbox, query_feat), bbox_preds = scan(
+                layer, (query_bbox, query_feat), None)
+            query_feat, last_cls, last_bbox = layer(
+                query_bbox, query_feat, grouped, attn_mask,
+                lidar2img, time_diff, image_h, image_w, deterministic, True)
+            bbox_preds = jnp.concatenate([bbox_preds, last_bbox[None]], 0)
+            cls_scores = jnp.concatenate(
+                [jnp.full((self.num_layers - 1,) + last_cls.shape, -1e4,
+                          last_cls.dtype), last_cls[None]], 0)
         else:
             # the 6 iterations share ONE set of weights (reference :87-96),
             # so roll them into a single traced body via nn.scan: the XLA

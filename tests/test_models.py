@@ -118,6 +118,69 @@ def test_detector_train_mode_with_rngs(rng):
     assert np.isfinite(np.asarray(preds["all_cls_scores"])).all()
 
 
+def test_decoder_inference_cls_skip_equivalence(rng):
+    """The deterministic decoder path statically skips the 5 intermediate
+    cls branches (only ``cls_scores[-1]`` is ever decoded — reference
+    sparsebev_head.py:462-482). Verify vs a manual unrolled loop over the
+    shared layer with the branch ON: identical bbox_preds at every layer,
+    identical final cls, -1e4 fill elsewhere, and a train/infer param-tree
+    match (scan + final unrolled call share one scope)."""
+    from sparsebev_tpu.models.decoder import (
+        SparseBEVTransformer, SparseBEVTransformerDecoderLayer)
+    from sparsebev_tpu.ops.msmv_sampling import pack_mlvl_feats_grouped
+
+    L, G, C = 3, 4, EMBED
+    model = SparseBEVTransformer(
+        embed_dims=C, num_frames=T, num_points=2, num_layers=L,
+        num_levels=2, pc_range=PC_RANGE, num_groups=G, num_views=N,
+        mixer_out_points=8)
+    q_bbox = jnp.asarray(
+        np.concatenate([rng.uniform(0.2, 0.8, (B, NUM_QUERY, 3)),
+                        rng.uniform(0.5, 1.5, (B, NUM_QUERY, 3)),
+                        rng.randn(B, NUM_QUERY, 4) * 0.1], -1)
+        .astype(np.float32))
+    q_feat = jnp.asarray(rng.randn(B, NUM_QUERY, C).astype(np.float32))
+    feats = [jnp.asarray(rng.randn(B, T * N, 8 // (2 ** i), 16 // (2 ** i), C)
+                         .astype(np.float32)) for i in range(2)]
+    l2i = jnp.asarray(rng.randn(B, T * N, 4, 4).astype(np.float32))
+    tdiff = jnp.asarray(np.tile([[0.0, 0.5]], (B, 1)).astype(np.float32))
+    args = (q_bbox, q_feat, feats, None, l2i, tdiff, H, W)
+
+    vars_inf = model.init(jax.random.PRNGKey(0), *args, deterministic=True)
+    vars_tr = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *args, deterministic=False)
+    assert (jax.tree_util.tree_structure(vars_inf)
+            == jax.tree_util.tree_structure(vars_tr))
+    for a, b in zip(jax.tree_util.tree_leaves(vars_inf),
+                    jax.tree_util.tree_leaves(vars_tr)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    cls_scores, bbox_preds = model.apply(vars_inf, *args, deterministic=True)
+
+    layer = SparseBEVTransformerDecoderLayer(
+        embed_dims=C, num_frames=T, num_points=2, num_levels=2,
+        num_classes=10, code_size=10, pc_range=PC_RANGE, num_groups=G,
+        mixer_out_points=8, num_views=N, dtype=None)
+    lparams = {"params": vars_inf["params"]["decoder_layer"]}
+    grouped = pack_mlvl_feats_grouped(feats, N, G, yfold=True)
+    qb, qf = q_bbox, q_feat
+    ref_bbox, ref_cls = [], []
+    for _ in range(L):
+        qf, cs, bp = layer.apply(lparams, qb, qf, grouped, None, l2i,
+                                 tdiff, H, W, True, True)
+        ref_bbox.append(bp)
+        ref_cls.append(cs)
+        qb = bp
+    np.testing.assert_allclose(np.asarray(bbox_preds),
+                               np.nan_to_num(np.stack(ref_bbox)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls_scores[-1]),
+                               np.nan_to_num(np.asarray(ref_cls[-1])),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(cls_scores[:-1]) == -1e4)
+
+
 def test_detector_grad_flows(rng):
     model = SparseBEV(**_model_cfg())
     img, lidar2img, time_diff = _inputs(rng)

@@ -51,6 +51,31 @@ def compiler_options_from_env():
     return out or None
 
 
+def ring_table_dtypes(model, frame_packed):
+    """Per-level ring-table dtypes for the streaming cache.
+
+    Default: the packed frame's own dtype (bf16). A level marked in the
+    head config's ``table_fp8`` (bool or per-level sequence) is stored as
+    float8_e4m3fn instead: e4m3 is scale-free, so dequant is a pure upcast
+    fused into the sampling fold (ops/msmv_sampling.py). Why: XLA MSA pins
+    gather tables to VMEM only when they fit its budget — at r50 scale the
+    bf16 y-fold rings are L0 557 / L1 139 / L2 35 / L3 9 MB and only
+    L2+L3 pin (6.8 ns/idx vs 14-17 from HBM, see docs/ROADMAP.md). fp8
+    halves L1 to 70 MB, toward the pin threshold. OPT-IN and
+    inference-only (the ring exists only in streaming; training and
+    offline eval sample exact bf16 tables): e4m3 keeps ~2 significant
+    digits per feature, so enable per config after checking accuracy.
+    Fold math is exact vs pre-quantized tables
+    (tests/test_msmv_sampling.py::test_ring_fp8_matches_prequantized).
+    """
+    spec = model.pts_bbox_head.get("table_fp8", False)
+    n = len(frame_packed.level_shapes)
+    if isinstance(spec, bool):
+        spec = (spec,) * n
+    base = frame_packed.tables[0].dtype
+    return tuple(jnp.float8_e4m3fn if s else base for s in spec)
+
+
 def init_streaming_variables(model, frame, lidar2img, time_diff,
                              image_h: int, image_w: int, seed: int = 0):
     """Initialize model variables WITHOUT a full T-frame forward.
@@ -130,7 +155,7 @@ def make_ring_bench(model, variables, frame, lidar2img, time_diff,
         v, img, train=False, method=model.forward_frame_packed))
     fp0 = pack(variables, frame)
     meta = jax.tree_util.tree_map(lambda _: None, fp0)  # geometry only
-    ring = ring_init(fp0, num_frames, fp0.tables[0].dtype)
+    ring = ring_init(fp0, num_frames, ring_table_dtypes(model, fp0))
     upd = jax.jit(ring_update, donate_argnums=(0,))
     for s in range(num_frames):  # prefill so iteration 0 sees a full window
         ring = upd(ring, fp0, jnp.int32(s))
@@ -230,7 +255,8 @@ class StreamingDetector:
             # geometry-only copy (aux metadata survives tree_map; the
             # single-frame table buffers themselves are not retained)
             self._meta = jax.tree_util.tree_map(lambda _: None, fp)
-            self.ring = ring_init(fp, self.cache_size, fp.tables[0].dtype)
+            self.ring = ring_init(fp, self.cache_size,
+                                  ring_table_dtypes(self.model, fp))
             self._head = self._build_head()
         slot = self._slot_for_new_frame(protected)
         self.ring = self._update(self.ring, fp, jnp.int32(slot))

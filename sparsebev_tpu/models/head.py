@@ -66,6 +66,12 @@ class SparseBEVHead(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     # sampling-table memory mode (see decoder.SparseBEVTransformer)
     table_yfold: Any = True
+    # streaming-ring fp8 levels (bool or per-level sequence) — consumed by
+    # inference.ring_table_dtypes, not by the head itself: a marked level's
+    # ring table is stored float8_e4m3fn so it fits XLA's VMEM pinning
+    # budget (gathers drop 14-17 -> 6.8 ns/idx). Training and offline eval
+    # are unaffected (they sample exact bf16 tables).
+    table_fp8: Any = False
 
     def setup(self):
         c = self.in_channels

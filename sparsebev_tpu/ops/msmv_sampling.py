@@ -202,13 +202,18 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
 
     ``frame_packed_meta`` supplies the per-frame table geometry (a
     single-frame ``pack_mlvl_feats_grouped`` result; its buffers are not
-    read). Returns a per-level tuple [S*N*H*G, W+1, 2Cg]."""
+    read). ``dtype`` may be a single dtype or a per-level sequence — e.g.
+    float8_e4m3fn for a level whose 1-byte table fits XLA's VMEM pinning
+    budget (see inference.ring_table_dtypes). Returns a per-level tuple
+    [S*N*H*G, W+1, 2Cg]."""
+    shapes = frame_packed_meta.level_shapes
+    if not isinstance(dtype, (list, tuple)):
+        dtype = (dtype,) * len(shapes)
     ring = []
-    for (h, w), yf in zip(frame_packed_meta.level_shapes,
-                          frame_packed_meta.yfold):
+    for (h, w), yf, dt in zip(shapes, frame_packed_meta.yfold, dtype):
         ch = (2 if yf else 1) * frame_packed_meta.channels
         rows = frame_packed_meta.num_views * h * frame_packed_meta.num_groups
-        ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dtype))
+        ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dt))
     return tuple(ring)
 
 
@@ -603,6 +608,11 @@ def _yfold_forward(qmajor: bool,
             # (ops/msmv_epilogue_pallas.py STATUS: gather fusion regrows
             # ~5 ms with a custom-call consumer).
             g2 = g[:, 0]                                      # [K, 2, 2C]
+            if g2.dtype == jnp.float8_e4m3fn:
+                # fp8 ring level (streaming VMEM-pin mode, see
+                # inference.ring_table_dtypes): dequant is a pure upcast —
+                # e4m3 is scale-free — fused into this fold fusion
+                g2 = g2.astype(jnp.bfloat16)
             xa = wxa[:, None].astype(g2.dtype)
             xb = wxb[:, None].astype(g2.dtype)
             ya = (wya * lw)[:, None]
@@ -640,6 +650,8 @@ def _yfold_forward(qmajor: bool,
                 # window-dim slices + [K, 1] broadcasts: same lane-layout
                 # rationale as the yfold branch above (no K-minor relayout)
                 g2 = g[:, 0]                                  # [K, 2, C]
+                if g2.dtype == jnp.float8_e4m3fn:
+                    g2 = g2.astype(jnp.bfloat16)
                 wyl = wy * lw
                 w0 = (wxa * wyl)[:, None].astype(g2.dtype)
                 w1 = (wxb * wyl)[:, None].astype(g2.dtype)

@@ -202,6 +202,58 @@ def test_ring_cache_matches_full_pack(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ring_fp8_matches_prequantized(rng):
+    """fp8 streaming ring (per-level ring_init dtypes): sampling from a
+    float8_e4m3fn ring must equal sampling from tables whose VALUES were
+    pre-quantized to e4m3 and stored bf16 — i.e. quantization on ring write
+    is the only difference; the fold math (upcast-to-bf16 dequant) is
+    unchanged. Mixed per-level dtypes exercise the fp32-accumulated
+    cross-level sum."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        msmv_sampling, pack_mlvl_feats_grouped, ring_init, ring_packed,
+        ring_update)
+    t, n, g, cg = 3, 6, 2, 8
+    c = g * cg
+    q, p = 5, 4
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    loc = rng.rand(t * g, q, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(t * g, q, p, len(shapes)).astype(np.float32)
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+
+    def fill(ring, fns):
+        fps = [pack_mlvl_feats_grouped(
+            [fn(jnp.asarray(f[:, i * n:(i + 1) * n]))
+             for fn, f in zip(fns, feats)], n, g) for i in range(t)]
+        for i, fp in enumerate(fps):
+            ring = ring_update(ring, fp, jnp.int32(i))
+        meta = jax.tree_util.tree_map(lambda _: None, fps[0])
+        return ring_packed(ring, jnp.arange(t, dtype=jnp.int32), t, meta)
+
+    fp0 = pack_mlvl_feats_grouped(
+        [jnp.asarray(f[:, :n]) for f in feats], n, g)
+    ident = lambda x: x
+    prequant = lambda x: x.astype(jnp.float8_e4m3fn).astype(jnp.bfloat16)
+
+    # level 0 fp8, level 1 bf16 (mixed, like a real table_fp8=[True,False])
+    got = msmv_sampling(
+        fill(ring_init(fp0, t, (jnp.float8_e4m3fn, jnp.bfloat16)),
+             (ident, ident)), jl, jw)
+    # reference: bf16 ring, level-0 VALUES pre-quantized to e4m3
+    want = msmv_sampling(
+        fill(ring_init(fp0, t, jnp.bfloat16), (prequant, ident)), jl, jw)
+    # sanity: quantization is not a no-op vs exact bf16
+    exact = msmv_sampling(
+        fill(ring_init(fp0, t, jnp.bfloat16), (ident, ident)), jl, jw)
+    assert float(jnp.abs(want.astype(jnp.float32)
+                         - exact.astype(jnp.float32)).max()) > 0
+    np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                               np.asarray(want.astype(jnp.float32)),
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_gradients_bf16_tables(rng):
     """Regression: with bf16 tables the forward emits bf16; the custom VJP's
     halfrow primal must emit the SAME dtype or jax.vjp rejects the cotangent

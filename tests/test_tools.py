@@ -98,6 +98,54 @@ def test_streaming_matches_offline(synth_ann):
     assert len(streaming.slot_of_key) == 2  # nothing re-extracted
 
 
+def test_streaming_fp8_ring(synth_ann):
+    """fp8 streaming-ring mode (inference.ring_table_dtypes): a level marked
+    in ``table_fp8`` stores its ring table as float8_e4m3fn (halving it under
+    XLA's VMEM-pinning budget on TPU). Dequant is a pure upcast fused into
+    the sampling fold. Verify the marked level's buffer dtype and that
+    decoded outputs stay close to the exact-ring streaming path."""
+    import jax
+    import jax.numpy as jnp
+    from sparsebev_tpu.config import Config
+    from sparsebev_tpu.builder import build_model, build_dataset
+    from sparsebev_tpu.data.loader import collate_batch
+    from sparsebev_tpu.inference import StreamingDetector
+
+    cfg = Config.fromfile(os.path.join(REPO, "configs/smoke_synthetic.py"))
+    cfg.merge_from_dict({"data.val.ann_file": synth_ann})
+    dataset = build_dataset(cfg.data["val"])
+    model, aux = build_model(cfg)
+    coder = aux.build_coder()
+
+    batch = collate_batch([dataset[2]], max_gt=8)
+    img = jnp.asarray(batch["img"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    td = jnp.asarray(batch["time_diff"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        img, l2i, td, train=False)
+    fnames = batch["img_metas"][0].get("filename", [])
+    args = (np.asarray(batch["img"]), np.asarray(batch["lidar2img"]),
+            np.asarray(batch["time_diff"]), fnames)
+    nf = cfg.model["pts_bbox_head"]["num_frames"]
+
+    exact = StreamingDetector(model, variables, num_frames=nf, coder=coder)
+    ref = jax.device_get(exact.infer(*args))
+
+    cfg.merge_from_dict({"model.pts_bbox_head.table_fp8": True})
+    model8, aux8 = build_model(cfg)
+    q = StreamingDetector(model8, variables, num_frames=nf,
+                          coder=aux8.build_coder())
+    out = jax.device_get(q.infer(*args))
+    assert all(t.dtype == jnp.float8_e4m3fn for t in q.ring)
+    # e4m3 keeps ~2 significant digits and this synthetic model has RANDOM
+    # weights, so refined boxes are chaotic w.r.t. feature noise — assert
+    # scores stay close (exact fold math is covered by
+    # test_msmv_sampling.test_ring_fp8_matches_prequantized)
+    assert np.isfinite(out["bboxes"]).all()
+    np.testing.assert_allclose(out["scores"], ref["scores"], atol=0.1)
+
+
 def test_multi_ann_file(synth_ann):
     from sparsebev_tpu.data import NuScenesSweepDataset
     ds1 = NuScenesSweepDataset(ann_file=synth_ann, pipeline=[])

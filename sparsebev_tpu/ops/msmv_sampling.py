@@ -238,6 +238,12 @@ def ring_update(ring_tables, frame_packed: PackedFeatures, slot):
     for ring, frame in zip(ring_tables, frame_packed.tables):
         rows_per_frame = frame.shape[0]
         assert ring.shape[0] % rows_per_frame == 0
+        if ring.dtype == jnp.float8_e4m3fn and frame.dtype != ring.dtype:
+            # e4m3 has no inf: out-of-range casts produce NaN (verified
+            # with ml_dtypes), so saturate explicitly — rare post-FPN
+            # outliers beyond +-448 must clamp, not poison the ring
+            lim = float(jnp.finfo(jnp.float8_e4m3fn).max)
+            frame = jnp.clip(frame.astype(jnp.float32), -lim, lim)
         out.append(jax.lax.dynamic_update_slice_in_dim(
             ring, frame.astype(ring.dtype), slot * rows_per_frame, axis=0))
     return tuple(out)

@@ -45,14 +45,15 @@ CONFIGS = [
 ]
 
 
-def bench_config(cfg_path: str, iters: int) -> float:
-    import jax
+def _build_streaming(cfg_path: str):
+    """Config -> (cfg, model, streaming variables, synthetic frame/l2i/td):
+    the shared setup for the in-jit and e2e benches (must stay identical so
+    both numbers measure the same model)."""
     import jax.numpy as jnp
 
     from sparsebev_tpu.config import Config
     from sparsebev_tpu.builder import build_model
-    from sparsebev_tpu.inference import init_streaming_variables, \
-        make_ring_bench
+    from sparsebev_tpu.inference import init_streaming_variables
 
     cfg = Config.fromfile(cfg_path)
     model, _ = build_model(cfg)
@@ -65,8 +66,16 @@ def bench_config(cfg_path: str, iters: int) -> float:
     l2i = jnp.asarray(rng.randn(1, num_frames * 6, 4, 4).astype(np.float32))
     td = jnp.asarray(np.linspace(0, 0.5 * (num_frames - 1), num_frames,
                                  dtype=np.float32)[None])
-
     variables = init_streaming_variables(model, frame, l2i, td, fh, fw)
+    return cfg, model, variables, frame, l2i, td
+
+
+def bench_config(cfg_path: str, iters: int) -> float:
+    from sparsebev_tpu.inference import make_ring_bench
+
+    cfg, model, variables, frame, l2i, td = _build_streaming(cfg_path)
+    num_frames = cfg.model["pts_bbox_head"]["num_frames"]
+    fh, fw = cfg.ida_aug_conf["final_dim"]
     loop_for, ring = make_ring_bench(model, variables, frame, l2i, td,
                                      num_frames, fh, fw)
     bench_loop = loop_for(iters)
@@ -88,28 +97,15 @@ def bench_e2e_flagship(num_samples: int = 12,
     same machinery as ``tools/timing.py --e2e``. Runs on synthetic JPEGs at
     flagship resolution; host is the sandbox's 1-core VM and the H2D hop
     crosses the axon tunnel, so this UNDERSTATES a production host."""
-    from sparsebev_tpu.config import Config
-    from sparsebev_tpu.builder import build_model
-    from sparsebev_tpu.inference import init_streaming_variables
-    import jax.numpy as jnp
     import tools.timing as timing
 
-    cfg = Config.fromfile(cfg_path)
-    model, _ = build_model(cfg)
-    num_frames = cfg.model["pts_bbox_head"]["num_frames"]
-    fh, fw = cfg.ida_aug_conf["final_dim"]
-    rng = np.random.RandomState(0)
-    frame = jnp.asarray(
-        rng.uniform(0, 255, (1, 6, fh, fw, 3)).astype(np.float32))
-    l2i = jnp.asarray(rng.randn(1, num_frames * 6, 4, 4).astype(np.float32))
-    td = jnp.asarray(np.linspace(0, 0.5 * (num_frames - 1), num_frames,
-                                 dtype=np.float32)[None])
-    variables = init_streaming_variables(model, frame, l2i, td, fh, fw)
+    cfg, model, variables, _, _, _ = _build_streaming(cfg_path)
     stats = timing.run_e2e(cfg, model, variables, num_samples)
     return stats["e2e_fps"]
 
 
-def main():
+def main() -> int:
+    emitted = 0
     for metric, cfg_path, iters, baseline in CONFIGS:
         try:
             fps = bench_config(cfg_path, iters)
@@ -117,6 +113,7 @@ def main():
             if baseline is not None:
                 row["vs_baseline"] = round(fps / baseline, 3)
             print(json.dumps(row), flush=True)
+            emitted += 1
         except Exception:
             logging.error("bench %s failed:\n%s", cfg_path,
                           traceback.format_exc())
@@ -127,9 +124,12 @@ def main():
             "metric": "r50_nuimg_704x256_streaming_fps_e2e",
             "value": round(fps, 2), "unit": "fps",
             "vs_baseline": round(fps / 15.8, 3)}), flush=True)
+        emitted += 1
     except Exception:
         logging.error("e2e bench failed:\n%s", traceback.format_exc())
+    # a run that produced no metrics must not look like success
+    return 0 if emitted else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

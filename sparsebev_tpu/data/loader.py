@@ -49,8 +49,9 @@ def collate_batch(samples: Sequence[Dict[str, Any]], max_gt: int = 64,
         gt_boxes = np.zeros((b, max_gt, 9), np.float32)
         gt_labels = np.zeros((b, max_gt), np.int32)
         gt_mask = np.zeros((b, max_gt), bool)
-        has_pts = "gt_num_pts" in samples[0]
-        # -1 = unknown (evaluator skips the devkit num_pts filter then)
+        # per-sample presence (multi-ann_file datasets may mix infos with
+        # and without num_lidar_pts); -1 = unknown, the evaluator skips
+        # the devkit num_pts filter for that box
         gt_num_pts = np.full((b, max_gt), -1, np.int64)
         for i, s in enumerate(samples):
             boxes = s["gt_bboxes_3d"]
@@ -63,12 +64,12 @@ def collate_batch(samples: Sequence[Dict[str, Any]], max_gt: int = 64,
                 gt_boxes[i, :n] = arr[:n, :9]
                 gt_labels[i, :n] = np.asarray(s["gt_labels_3d"])[:n]
                 gt_mask[i, :n] = True
-                if has_pts:
+                if "gt_num_pts" in s:
                     gt_num_pts[i, :n] = np.asarray(s["gt_num_pts"])[:n]
         batch["gt_boxes"] = gt_boxes
         batch["gt_labels"] = gt_labels
         batch["gt_mask"] = gt_mask
-        if has_pts:
+        if (gt_num_pts >= 0).any():
             batch["gt_num_pts"] = gt_num_pts
     return batch
 

@@ -1,3 +1,3 @@
-from .loop import run_offline_eval  # noqa: F401
+from .loop import add_batch_sample, run_offline_eval  # noqa: F401
 from .metrics import NuScenesDetectionEvaluator  # noqa: F401
 from .results import format_nusc_submission, velocity_attribute  # noqa: F401

@@ -20,6 +20,24 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def add_batch_sample(evaluator, batch, i, res, token):
+    """Feed one decoded sample into the evaluator with the devkit filters
+    (gt_mask slicing, ego-pose frame, num_lidar_pts) — the single shared
+    implementation for the online (tools/val.py) and offline loops, so the
+    two paths can never apply different filters."""
+    if "gt_boxes" not in batch:
+        return
+    m = batch["gt_mask"][i]
+    evaluator.add_sample(
+        res["bboxes"], res["scores"], res["labels"],
+        batch["gt_boxes"][i][m], batch["gt_labels"][i][m],
+        pred_mask=res["mask"], sample_token=token,
+        ego_frame=(batch["ego_frame"][i]
+                   if "ego_frame" in batch else None),
+        gt_num_pts=(batch["gt_num_pts"][i][m]
+                    if "gt_num_pts" in batch else None))
+
+
 def run_offline_eval(model, variables, coder, dataset, loader,
                      mesh=None) -> Dict:
     """Returns (metrics dict or None, results_per_sample dict)."""
@@ -69,16 +87,7 @@ def run_offline_eval(model, variables, coder, dataset, loader,
             token = meta.get("sample_idx") or f"sample_{n_done}"
             res = {k: np.asarray(v[i]) for k, v in dec.items()}
             results_per_sample[token] = res
-            if "gt_boxes" in batch:
-                m = batch["gt_mask"][i]
-                evaluator.add_sample(
-                    res["bboxes"], res["scores"], res["labels"],
-                    batch["gt_boxes"][i][m], batch["gt_labels"][i][m],
-                    pred_mask=res["mask"], sample_token=token,
-                    ego_frame=(batch["ego_frame"][i]
-                               if "ego_frame" in batch else None),
-                    gt_num_pts=(batch["gt_num_pts"][i][m]
-                                if "gt_num_pts" in batch else None))
+            add_batch_sample(evaluator, batch, i, res, token)
             n_done += 1
 
     metrics = evaluator.evaluate() if evaluator._num_samples > 0 else None

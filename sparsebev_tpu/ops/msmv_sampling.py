@@ -209,6 +209,10 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
     shapes = frame_packed_meta.level_shapes
     if not isinstance(dtype, (list, tuple)):
         dtype = (dtype,) * len(shapes)
+    if len(dtype) != len(shapes):
+        raise ValueError(
+            f"per-level dtype sequence has {len(dtype)} entries for "
+            f"{len(shapes)} feature levels (check table_fp8 in the config)")
     ring = []
     for (h, w), yf, dt in zip(shapes, frame_packed_meta.yfold, dtype):
         ch = (2 if yf else 1) * frame_packed_meta.channels

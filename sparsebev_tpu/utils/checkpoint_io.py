@@ -73,6 +73,13 @@ def restore_train_state(path: str, state):
     train.py:160-162)."""
     payload = load_checkpoint(path)
     restored = jax.tree_util.tree_map(lambda x: x, payload)  # to host arrays
+    # the forward is VERSION-dependent (ops/projection.py yaw convention):
+    # a resume from a ported v0.17.1 checkpoint must restore the tag too,
+    # exactly like tools/val.py --weights does
+    tag = restored.get("extra", {}).get("version")
+    if tag is not None:
+        from .version import VERSION
+        VERSION.name = str(tag)
     return state.replace(
         params=restored["params"],
         batch_stats=restored.get("batch_stats", state.batch_stats),

@@ -122,3 +122,28 @@ def test_orbax_roundtrip(tmp_path, rng):
     import os
     ckpts = [d for d in os.listdir(tmp_path) if d.startswith("ckpt_")]
     assert ckpts == ["ckpt_9"]
+
+
+def test_resume_restores_version_tag(tmp_path, rng):
+    """The forward is VERSION-dependent (v0.17.1 yaw convention): a resume
+    from a checkpoint saved while VERSION was v0.17.1 must restore the tag,
+    like tools/val.py --weights does (reference val.py:122-129)."""
+    import jax.numpy as jnp
+    import optax
+    from sparsebev_tpu.train.step import create_train_state
+    from sparsebev_tpu.utils.checkpoint_io import (save_checkpoint,
+                                                   restore_train_state)
+    from sparsebev_tpu.utils.version import VERSION
+
+    params = {"w": jnp.asarray(rng.randn(2, 2).astype(np.float32))}
+    state = create_train_state({"params": params, "batch_stats": {}},
+                               optax.adam(1e-3))
+    old = VERSION.name
+    try:
+        VERSION.name = "v0.17.1"
+        path = save_checkpoint(str(tmp_path), 1, state)
+        VERSION.name = "v1.0.0"
+        restore_train_state(path, state)
+        assert VERSION.name == "v0.17.1"
+    finally:
+        VERSION.name = old

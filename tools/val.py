@@ -45,6 +45,7 @@ def main():
     from sparsebev_tpu.config import Config
     from sparsebev_tpu.builder import build_model, build_dataset, build_dataloader
     from sparsebev_tpu.evaluation import (NuScenesDetectionEvaluator,
+                                          add_batch_sample,
                                           format_nusc_submission)
     from sparsebev_tpu.utils import init_logging, load_checkpoint
 
@@ -123,16 +124,7 @@ def main():
                 token = meta.get("sample_idx") or f"sample_{n_done}"
                 res = {k: np.asarray(v[i]) for k, v in dec.items()}
                 results_per_sample[token] = res
-                if "gt_boxes" in batch:
-                    m = batch["gt_mask"][i]
-                    evaluator.add_sample(
-                        res["bboxes"], res["scores"], res["labels"],
-                        batch["gt_boxes"][i][m], batch["gt_labels"][i][m],
-                        pred_mask=res["mask"], sample_token=token,
-                        ego_frame=(batch["ego_frame"][i]
-                                   if "ego_frame" in batch else None),
-                        gt_num_pts=(batch["gt_num_pts"][i][m]
-                                    if "gt_num_pts" in batch else None))
+                add_batch_sample(evaluator, batch, i, res, token)
                 n_done += 1
             logging.info("evaluated %d samples", n_done)
         metrics = evaluator.evaluate() if evaluator._num_samples else None

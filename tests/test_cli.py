@@ -103,3 +103,16 @@ def test_train_cli_with_eval_hook(synth_ann, tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     log = out.stdout + out.stderr
     assert "eval @ epoch" in log and "NDS" in log
+
+
+def test_bench_machinery_cpu():
+    """bench.py's in-jit ring loop + e2e helper on the smoke config: guards
+    the driver-facing bench surface (which otherwise only ever runs on the
+    real chip) against library API drift."""
+    import bench
+
+    fps = bench.bench_config("configs/smoke_synthetic.py", iters=2)
+    assert fps > 0
+    fps_e2e = bench.bench_e2e_flagship(num_samples=2,
+                                       cfg_path="configs/smoke_synthetic.py")
+    assert fps_e2e > 0

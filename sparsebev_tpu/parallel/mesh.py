@@ -36,6 +36,20 @@ def make_mesh_for_batch(batch_size: int,
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def make_hybrid_mesh(dp: int, sp: int,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """dp x sp mesh: 'data' shards the batch, 'q' shards the query axis
+    (parallel/query_parallel.py) through the decoder — hybrid-parallel
+    training for when per-chip memory or step latency (the sampling-gather
+    wall scales 1/sp) matters more than pure DP throughput."""
+    from .query_parallel import QUERY_AXIS
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * sp > len(devices):
+        raise ValueError(f"dp*sp={dp * sp} exceeds {len(devices)} devices")
+    arr = np.asarray(devices[:dp * sp]).reshape(dp, sp)
+    return Mesh(arr, ("data", QUERY_AXIS))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis_name))

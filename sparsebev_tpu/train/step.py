@@ -55,13 +55,26 @@ def make_train_step(model,
                     query_denoising: bool = True,
                     dn_groups: int = 10,
                     loss_cls_weight: float = 2.0,
-                    loss_bbox_weight: float = 0.25) -> Callable:
+                    loss_bbox_weight: float = 0.25,
+                    mesh=None) -> Callable:
     """Returns ``train_step(state, batch, rng) -> (state, metrics)``.
 
     batch dict (all arrays, leading dim = global batch):
       img [B, T*6, H, W, 3], lidar2img [B, T*6, 4, 4], time_diff [B, T],
       gt_boxes [B, M, 9], gt_labels [B, M], gt_mask [B, M].
+
+    ``mesh``: optional ``jax.sharding.Mesh``. A 'q' axis enables hybrid
+    dp x sp training: the head's per-layer predictions are constrained to
+    the query sharding (parallel/query_parallel.py) and GSPMD propagates
+    the partition back through the decoder — the sampling gathers (the
+    training wall too, fwd AND custom-VJP scatters) then run on Q/n_q
+    queries per device. The Hungarian matcher needs the full [Q, M] cost
+    matrix per sample, so GSPMD all-gathers the (tiny) prediction tensors
+    before the loss; gradients flow through the constraint unchanged.
     """
+    from ..parallel.query_parallel import QUERY_AXIS, constrain_preds
+    shard_queries = mesh is not None and QUERY_AXIS in mesh.axis_names \
+        and mesh.shape[QUERY_AXIS] > 1
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng_dn, rng_aug, rng_drop = jax.random.split(rng, 3)
@@ -79,6 +92,14 @@ def make_train_step(model,
                 batch["img"], batch["lidar2img"], batch["time_diff"],
                 dn_inputs=dn_inputs, train=True,
                 rngs={"aug": rng_aug, "dropout": rng_drop})
+            if shard_queries:
+                # constrain only the main-query tensors: the DN query count
+                # need not divide the mesh axis; GSPMD still shards the
+                # decoder's concatenated [B, Q+Qdn, D] internals to match
+                main = constrain_preds(
+                    {k: preds[k]
+                     for k in ("all_cls_scores", "all_bbox_preds")}, mesh)
+                preds = {**preds, **main}
 
             losses = compute_detection_loss(
                 preds["all_cls_scores"], preds["all_bbox_preds"],

@@ -149,6 +149,39 @@ def test_data_parallel_step_on_mesh(model_and_state):
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
 
+def test_hybrid_dp_sp_step_on_mesh(model_and_state):
+    """Hybrid dp x sp training (make_train_step(mesh=...)): a 2x4 mesh
+    ('data' x 'q') sharding the batch AND the decoder's query axis must
+    produce the same updates as a single device — GSPMD propagates the
+    query partition through sampling/mixing and all-gathers before the
+    Hungarian matcher."""
+    from sparsebev_tpu.parallel import make_hybrid_mesh
+    model, state = model_and_state
+    mesh = make_hybrid_mesh(2, 4)
+    rng = np.random.RandomState(5)
+    batch = shard_batch(_batch(rng, b=2), mesh)
+    state_r = jax.device_put(state, replicate(mesh))
+
+    step_fn = jax.jit(make_train_step(
+        model, num_classes=10, code_weights=CODE_WEIGHTS, pc_range=PC_RANGE,
+        num_query=NUM_QUERY, query_denoising=True, dn_groups=2, mesh=mesh))
+    new_state, metrics = step_fn(state_r, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    plain = jax.jit(make_train_step(
+        model, num_classes=10, code_weights=CODE_WEIGHTS, pc_range=PC_RANGE,
+        num_query=NUM_QUERY, query_denoising=True, dn_groups=2))
+    state_local = jax.device_put(state, jax.devices()[0])
+    batch_local = jax.device_put(batch, jax.devices()[0])
+    new_local, metrics_local = plain(state_local, batch_local,
+                                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_local["loss"]), rtol=1e-4)
+    a = np.asarray(new_state.params["head"]["init_query_bbox"])
+    b = np.asarray(new_local.params["head"]["init_query_bbox"])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
 def test_multi_step(model_and_state):
     """K steps per dispatch via lax.scan over a stacked batch must match K
     sequential single-step dispatches."""

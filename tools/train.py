@@ -31,6 +31,11 @@ def parse_args():
                              "from TPU pod env; the data mesh then spans "
                              "ICI + DCN (replaces torchrun/NCCL init, "
                              "reference train.py:92)")
+    parser.add_argument("--query-shards", type=int, default=1,
+                        help="hybrid dp x sp training: shard the decoder's "
+                             "query axis over this many devices per data "
+                             "shard (parallel.make_hybrid_mesh; divides the "
+                             "sampling-gather wall by sp)")
     return parser.parse_args()
 
 
@@ -125,12 +130,19 @@ def main():
     state = create_train_state(variables, tx)
 
     # train step + runner
+    if args.query_shards > 1:
+        from sparsebev_tpu.parallel import make_hybrid_mesh
+        n_dev = len(jax.devices())
+        mesh = make_hybrid_mesh(n_dev // args.query_shards, args.query_shards)
+    else:
+        mesh = make_mesh_for_batch(cfg.batch_size)
     train_step = make_train_step(
         model, num_classes=aux.num_classes, code_weights=aux.code_weights,
         pc_range=aux.pc_range, num_query=aux.num_query,
         query_denoising=aux.query_denoising, dn_groups=aux.dn_groups,
         loss_cls_weight=aux.loss_cls_weight,
-        loss_bbox_weight=aux.loss_bbox_weight)
+        loss_bbox_weight=aux.loss_bbox_weight,
+        mesh=mesh if args.query_shards > 1 else None)
 
     hooks = [IterTimerHook(), SamplerSeedHook()]
     for hcfg in cfg.get("log_config", {}).get("hooks", []):
@@ -171,7 +183,7 @@ def main():
 
     runner = Runner(train_step, state, loader, work_dir,
                     total_epochs=cfg.total_epochs, lr_schedule=schedule,
-                    hooks=hooks, mesh=make_mesh_for_batch(cfg.batch_size),
+                    hooks=hooks, mesh=mesh,
                     seed=args.seed,
                     steps_per_dispatch=cfg.get("steps_per_dispatch", 1))
 

@@ -85,6 +85,29 @@ def test_streaming_detector_with_mesh(setup):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_fp8_ring_with_mesh(setup):
+    """fp8 ring tables x query sharding: the composed mode (fp8 dequant in
+    the fold + GSPMD query partition) must match the unsharded fp8 run —
+    quantization is identical on both sides, so tolerance is tight."""
+    _, variables, img, l2i, td, mesh = setup
+    from sparsebev_tpu.inference import StreamingDetector
+
+    model8 = _build_model(num_query=Q, num_frames=NUM_FRAMES, embed_dims=64,
+                          num_points=2, num_layers=2, image_hw=(H, W),
+                          compute_dtype=jnp.float32, table_fp8=True)
+    plain = StreamingDetector(model8, variables, num_frames=NUM_FRAMES)
+    sharded = StreamingDetector(model8, variables, num_frames=NUM_FRAMES,
+                                mesh=mesh)
+    want = jax.device_get(plain.infer(np.asarray(img), np.asarray(l2i),
+                                      np.asarray(td), []))
+    got = jax.device_get(sharded.infer(np.asarray(img), np.asarray(l2i),
+                                       np.asarray(td), []))
+    assert all(t.dtype == jnp.float8_e4m3fn for t in sharded.ring)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(want[k]), np.asarray(got[k]),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_init_streaming_variables_matches_full_init(setup):
     """Two-stage streaming init (backbone on one frame + head on a dummy
     packed pyramid) must produce the SAME param tree as a full-window init —

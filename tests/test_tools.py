@@ -248,3 +248,20 @@ def test_parity_runner_dry_run(tmp_path):
     assert report["nds"] is not None
     assert os.path.exists(tmp_path / "parity" / "submission.json")
     assert os.path.exists(tmp_path / "parity" / "parity.json")
+
+
+def test_parity_runner_synthetic(tmp_path):
+    """tools/parity.py --synthetic: the one-command NDS parity staging
+    (VERDICT r2 #9) must dry-run end to end — synthetic split, val CLI,
+    NDS table, JSON report — so the day real data + a checkpoint mount,
+    only --torch-ckpt changes."""
+    import json
+    out = _run([sys.executable, "tools/parity.py",
+                "--config", "configs/smoke_synthetic.py",
+                "--synthetic", "--platform", "cpu",
+                "--work-dir", str(tmp_path / "parity")], timeout=1200)
+    assert out.returncode == 0, (out.stdout + out.stderr)[-3000:]
+    report = json.loads([l for l in out.stdout.splitlines()
+                         if l.startswith("{")][-1])
+    assert report["nds"] is not None
+    assert os.path.exists(tmp_path / "parity" / "parity.json")

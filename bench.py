@@ -30,22 +30,35 @@ import traceback
 
 import numpy as np
 
-# (metric name, config path, iters, published reference FPS or None)
+# The big 1600x640 configs keep their L0 ring in bf16 PAIR mode by default
+# (memory: a 6 GB bf16 y-fold L0 doesn't fit); the fp8 y-fold L0 variant
+# costs the SAME ring bytes but issues HALF the L0 gather indices — measured
+# 2026-08-18 on v5e: vov99 298.4 -> 281.8 ms, eva02 1060 -> 1019 ms. Emitted
+# as separate, explicitly-named metrics because fp8 storage quantizes L0
+# features (accuracy effect unmeasurable without real data; see ROADMAP).
+_FP8_L0 = {"model.pts_bbox_head.table_yfold": [True] * 5,
+           "model.pts_bbox_head.table_fp8": [True, False, False, False, False]}
+
+# (metric name, config path, iters, published reference FPS or None, overrides)
 CONFIGS = [
     ("r50_nuimg_704x256_streaming_fps",
-     "configs/r50_nuimg_704x256.py", 20, 15.8),
+     "configs/r50_nuimg_704x256.py", 20, 15.8, None),
     ("r50_nuimg_704x256_400q_streaming_fps",
-     "configs/r50_nuimg_704x256_400q_36ep.py", 40, 23.5),
+     "configs/r50_nuimg_704x256_400q_36ep.py", 40, 23.5, None),
     ("r101_nuimg_1408x512_streaming_fps",
-     "configs/r101_nuimg_1408x512.py", 10, 6.5),
+     "configs/r101_nuimg_1408x512.py", 10, 6.5, None),
     ("vov99_dd3d_1600x640_streaming_fps",
-     "configs/vov99_dd3d_1600x640_trainval_future.py", 6, None),
+     "configs/vov99_dd3d_1600x640_trainval_future.py", 6, None, None),
     ("vit_eva02_1600x640_streaming_fps",
-     "configs/vit_eva02_1600x640_trainval_future.py", 4, None),
+     "configs/vit_eva02_1600x640_trainval_future.py", 4, None, None),
+    ("vov99_dd3d_1600x640_fp8l0_streaming_fps",
+     "configs/vov99_dd3d_1600x640_trainval_future.py", 6, None, _FP8_L0),
+    ("vit_eva02_1600x640_fp8l0_streaming_fps",
+     "configs/vit_eva02_1600x640_trainval_future.py", 4, None, _FP8_L0),
 ]
 
 
-def _build_streaming(cfg_path: str):
+def _build_streaming(cfg_path: str, overrides=None):
     """Config -> (cfg, model, streaming variables, synthetic frame/l2i/td):
     the shared setup for the in-jit and e2e benches (must stay identical so
     both numbers measure the same model)."""
@@ -56,6 +69,8 @@ def _build_streaming(cfg_path: str):
     from sparsebev_tpu.inference import init_streaming_variables
 
     cfg = Config.fromfile(cfg_path)
+    if overrides:
+        cfg.merge_from_dict(overrides)
     model, _ = build_model(cfg)
     num_frames = cfg.model["pts_bbox_head"]["num_frames"]
     fh, fw = cfg.ida_aug_conf["final_dim"]
@@ -70,10 +85,11 @@ def _build_streaming(cfg_path: str):
     return cfg, model, variables, frame, l2i, td
 
 
-def bench_config(cfg_path: str, iters: int) -> float:
+def bench_config(cfg_path: str, iters: int, overrides=None) -> float:
     from sparsebev_tpu.inference import make_ring_bench
 
-    cfg, model, variables, frame, l2i, td = _build_streaming(cfg_path)
+    cfg, model, variables, frame, l2i, td = _build_streaming(cfg_path,
+                                                             overrides)
     num_frames = cfg.model["pts_bbox_head"]["num_frames"]
     fh, fw = cfg.ida_aug_conf["final_dim"]
     loop_for, ring = make_ring_bench(model, variables, frame, l2i, td,
@@ -106,9 +122,9 @@ def bench_e2e_flagship(num_samples: int = 12,
 
 def main() -> int:
     emitted = 0
-    for metric, cfg_path, iters, baseline in CONFIGS:
+    for metric, cfg_path, iters, baseline, overrides in CONFIGS:
         try:
-            fps = bench_config(cfg_path, iters)
+            fps = bench_config(cfg_path, iters, overrides)
             row = {"metric": metric, "value": round(fps, 2), "unit": "fps"}
             if baseline is not None:
                 row["vs_baseline"] = round(fps / baseline, 3)

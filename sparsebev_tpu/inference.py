@@ -76,6 +76,33 @@ def ring_table_dtypes(model, frame_packed):
     return tuple(jnp.float8_e4m3fn if s else base for s in spec)
 
 
+def _head_split_spec(model):
+    spec = model.pts_bbox_head.get("table_split", 1)
+    return (spec,) if isinstance(spec, int) else tuple(spec)
+
+
+def ring_table_splits(model, frame_packed, num_frames: int):
+    """Per-level streaming ring chunk-split counts (head config
+    ``table_split``, int or per-level sequence; default 1 = unsplit).
+
+    A level split into N separate chunk buffers (each covering T/N ring
+    slots) gathers chunk-by-chunk with UNCHANGED index count and bf16-exact
+    numerics; XLA MSA prefetch-pipelines each <=70 MB chunk into VMEM
+    while its predecessor gathers, cutting that level's gather rate from
+    ~11.5 to ~6.8 ns/idx on v5e (ops/msmv_sampling.py PackedFeatures.split
+    for the measured rationale). Splits must divide the frame window."""
+    spec = model.pts_bbox_head.get("table_split", 1)
+    n = len(frame_packed.level_shapes)
+    if isinstance(spec, int):
+        spec = (spec,) * n
+    spec = tuple(int(s) for s in spec)
+    for s in spec:
+        if s > 1 and num_frames % s:
+            raise ValueError(
+                f"table_split={spec} must divide num_frames={num_frames}")
+    return spec
+
+
 def init_streaming_variables(model, frame, lidar2img, time_diff,
                              image_h: int, image_w: int, seed: int = 0):
     """Initialize model variables WITHOUT a full T-frame forward.
@@ -155,7 +182,8 @@ def make_ring_bench(model, variables, frame, lidar2img, time_diff,
         v, img, train=False, method=model.forward_frame_packed))
     fp0 = pack(variables, frame)
     meta = jax.tree_util.tree_map(lambda _: None, fp0)  # geometry only
-    ring = ring_init(fp0, num_frames, ring_table_dtypes(model, fp0))
+    ring = ring_init(fp0, num_frames, ring_table_dtypes(model, fp0),
+                     ring_table_splits(model, fp0, num_frames))
     upd = jax.jit(ring_update, donate_argnums=(0,))
     for s in range(num_frames):  # prefill so iteration 0 sees a full window
         ring = upd(ring, fp0, jnp.int32(s))
@@ -203,6 +231,14 @@ class StreamingDetector:
         self.mesh = mesh
         self.coder = coder
         self.cache_size = max(cache_size, num_frames)
+        self._splits = None  # resolved per-level on first frame
+        if any(s > 1 for s in _head_split_spec(model)):
+            # chunk-split rings need exactly one chunk-partition of the
+            # T-frame window: points partition statically by physical slot
+            # only when every ring slot belongs to the current sample
+            # (ops/msmv_sampling.py _yfold_forward). Costs re-decode on
+            # out-of-window revisits; sequential val never revisits.
+            self.cache_size = num_frames
         # filename -> ring slot, insertion-ordered (FIFO evict, reference
         # sparsebev.py:290-292)
         self.slot_of_key: "OrderedDict[str, int]" = OrderedDict()
@@ -256,7 +292,9 @@ class StreamingDetector:
             # single-frame table buffers themselves are not retained)
             self._meta = jax.tree_util.tree_map(lambda _: None, fp)
             self.ring = ring_init(fp, self.cache_size,
-                                  ring_table_dtypes(self.model, fp))
+                                  ring_table_dtypes(self.model, fp),
+                                  ring_table_splits(self.model, fp,
+                                                    self.cache_size))
             self._head = self._build_head()
         slot = self._slot_for_new_frame(protected)
         self.ring = self._update(self.ring, fp, jnp.int32(slot))

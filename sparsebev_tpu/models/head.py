@@ -72,6 +72,11 @@ class SparseBEVHead(nn.Module):
     # budget (gathers drop 14-17 -> 6.8 ns/idx). Training and offline eval
     # are unaffected (they sample exact bf16 tables).
     table_fp8: Any = False
+    # streaming ring chunk-split counts (int or per-level; consumed by
+    # inference.ring_table_splits, not the head): split a level's ring into
+    # N separate chunk buffers so XLA prefetch-pipelines them into VMEM
+    # during the sampling gathers — bf16-exact, same index count
+    table_split: Any = 1
 
     def setup(self):
         c = self.in_channels

@@ -109,6 +109,18 @@ class PackedFeatures:
         if isinstance(yfold, bool):
             yfold = (yfold,) * len(self.level_shapes)
         self.yfold = tuple(yfold)
+        # Streaming CHUNK-SPLIT mode (derived from structure, not stored):
+        # a level whose ring is a TUPLE of per-slot-range buffers instead of
+        # one array is gathered chunk-by-chunk. Rationale (measured v5e,
+        # 2026-08-19): XLA's memory-space assignment prefetch-pipelines a
+        # <=70 MB table buffer into VMEM while the previous chunk gathers,
+        # moving that chunk's gathers from the HBM engine rate (~11.5
+        # ns/idx) to the VMEM rate (~6.8 ns/idx). One 140-557 MB buffer
+        # never prefetches; 35-70 MB chunks do. Index count is UNCHANGED —
+        # points partition statically on the physical-slot axis after a
+        # one-take permute (see _yfold_forward). bf16-exact vs unsplit.
+        self.split = tuple(
+            len(t) if isinstance(t, tuple) else 1 for t in self.tables)
         # "hybrid" impl only: bf16 [B, N*H, W*C] tables for the MXU levels
         self.mxu_tables = tuple(mxu_tables)
 
@@ -197,15 +209,20 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
 
 
 def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
-              dtype=jnp.bfloat16):
+              dtype=jnp.bfloat16, split=1):
     """Allocate an all-zero table ring with ``num_slots`` frame slots.
 
     ``frame_packed_meta`` supplies the per-frame table geometry (a
     single-frame ``pack_mlvl_feats_grouped`` result; its buffers are not
     read). ``dtype`` may be a single dtype or a per-level sequence — e.g.
     float8_e4m3fn for a level whose 1-byte table fits XLA's VMEM pinning
-    budget (see inference.ring_table_dtypes). Returns a per-level tuple
-    [S*N*H*G, W+1, 2Cg]."""
+    budget (see inference.ring_table_dtypes). ``split`` (int or per-level
+    sequence) > 1 allocates that level as ``split`` SEPARATE chunk buffers
+    covering ``num_slots/split`` slots each, which XLA prefetch-pipelines
+    into VMEM during the gathers (see PackedFeatures.split; separate
+    buffers are required — slice views of one array do not prefetch,
+    measured +1.5 ms/sample on v5e). Returns a per-level tuple of
+    [S*N*H*G, W+1, 2Cg] arrays (or per-level tuples of chunk buffers)."""
     shapes = frame_packed_meta.level_shapes
     if not isinstance(dtype, (list, tuple)):
         dtype = (dtype,) * len(shapes)
@@ -213,11 +230,28 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
         raise ValueError(
             f"per-level dtype sequence has {len(dtype)} entries for "
             f"{len(shapes)} feature levels (check table_fp8 in the config)")
+    if not isinstance(split, (list, tuple)):
+        split = (split,) * len(shapes)
+    if len(split) != len(shapes):
+        raise ValueError(
+            f"per-level split sequence has {len(split)} entries for "
+            f"{len(shapes)} feature levels (check table_split in the config)")
     ring = []
-    for (h, w), yf, dt in zip(shapes, frame_packed_meta.yfold, dtype):
+    for (h, w), yf, dt, sp in zip(shapes, frame_packed_meta.yfold, dtype,
+                                  split):
         ch = (2 if yf else 1) * frame_packed_meta.channels
         rows = frame_packed_meta.num_views * h * frame_packed_meta.num_groups
-        ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dt))
+        if sp == 1:
+            ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dt))
+        else:
+            if num_slots % sp:
+                raise ValueError(
+                    f"table_split={sp} must divide num_slots={num_slots}")
+            if not yf:
+                raise ValueError("table_split requires a yfold level")
+            cf = num_slots // sp
+            ring.append(tuple(jnp.zeros((cf * rows, w + 1, ch), dt)
+                              for _ in range(sp)))
     return tuple(ring)
 
 
@@ -238,18 +272,45 @@ def ring_update(ring_tables, frame_packed: PackedFeatures, slot):
     """
     assert frame_packed.batch == frame_packed.num_groups, \
         "ring_update expects single-frame, B=1 packed tables"
-    out = []
-    for ring, frame in zip(ring_tables, frame_packed.tables):
-        rows_per_frame = frame.shape[0]
-        assert ring.shape[0] % rows_per_frame == 0
-        if ring.dtype == jnp.float8_e4m3fn and frame.dtype != ring.dtype:
+    def _cast(frame, dt):
+        if dt == jnp.float8_e4m3fn and frame.dtype != dt:
             # e4m3 has no inf: out-of-range casts produce NaN (verified
             # with ml_dtypes), so saturate explicitly — rare post-FPN
             # outliers beyond +-448 must clamp, not poison the ring
             lim = float(jnp.finfo(jnp.float8_e4m3fn).max)
             frame = jnp.clip(frame.astype(jnp.float32), -lim, lim)
-        out.append(jax.lax.dynamic_update_slice_in_dim(
-            ring, frame.astype(ring.dtype), slot * rows_per_frame, axis=0))
+        return frame.astype(dt)
+
+    out = []
+    for ring, frame in zip(ring_tables, frame_packed.tables):
+        rows_per_frame = frame.shape[0]
+        if isinstance(ring, tuple):
+            # chunk-split level: the new frame lands in ONE chunk buffer.
+            # lax.switch picks it; pass-through branches forward the other
+            # buffers (the branch copies this costs are charged once per
+            # sample vs the per-layer gather win — see _yfold_forward).
+            sp = len(ring)
+            assert ring[0].shape[0] % rows_per_frame == 0
+            cf = ring[0].shape[0] // rows_per_frame   # frames per chunk
+            fr = _cast(frame, ring[0].dtype)
+            buf_i = (slot // cf) % sp
+            off = (slot % cf) * rows_per_frame
+
+            def _branch(b, _ring=ring, _fr=fr, _off=off):
+                def br(r):
+                    return tuple(
+                        jax.lax.dynamic_update_slice_in_dim(
+                            buf, _fr, _off, axis=0) if i == b else buf
+                        for i, buf in enumerate(r))
+                return br
+
+            out.append(jax.lax.switch(
+                buf_i, [_branch(b) for b in range(sp)], ring))
+        else:
+            assert ring.shape[0] % rows_per_frame == 0
+            out.append(jax.lax.dynamic_update_slice_in_dim(
+                ring, _cast(frame, ring.dtype), slot * rows_per_frame,
+                axis=0))
     return tuple(out)
 
 
@@ -281,8 +342,10 @@ def table_acc_dtype(packed: PackedFeatures):
     its HBM traffic); anything else accumulates fp32. Both _yfold_forward
     and the custom VJP's halfrow primal MUST use this (jax.vjp rejects
     cotangents whose dtype differs from the primal output)."""
-    dt = (packed.tables[0].dtype if packed.tables[0] is not None
-          else jnp.float32)
+    t0 = packed.tables[0]
+    if isinstance(t0, tuple):
+        t0 = t0[0]
+    dt = t0.dtype if t0 is not None else jnp.float32
     return dt if dt in (jnp.bfloat16, jnp.float32) else jnp.float32
 
 
@@ -429,6 +492,8 @@ def _msmv_halfrow(qmajor: bool,
     so the custom VJP below routes gradients here.
     """
     num_levels = len(packed.level_shapes)
+    assert all(s == 1 for s in packed.split), \
+        "table_split rings are streaming-inference-only (no VJP path)"
     d0, d1, p, _ = sampling_locations.shape
     n = packed.num_views
     c = packed.channels
@@ -531,6 +596,30 @@ def _yfold_forward(qmajor: bool,
     assert b == packed.batch
     n = packed.num_views
     c = packed.channels
+    split = packed.split
+    unperm = None
+    if any(s > 1 for s in split):
+        # Chunk-split levels partition points by PHYSICAL ring slot, so the
+        # slice axis is reordered into physical order ONCE (two small takes
+        # per layer), every level runs on the permuted order with an
+        # identity slice map, and the permutation is inverted on the
+        # accumulated output (one [K, C] take). Works for ANY full slot
+        # permutation (argsort), not just the bench loop's rotation.
+        assert qmajor, "table_split requires the streaming query-major layout"
+        sm = packed.slice_map
+        if sm is None:
+            sm = jnp.arange(b, dtype=jnp.int32)
+        else:
+            sm = sm.astype(jnp.int32)
+        perm = jnp.argsort(sm)          # physical position -> logical slice
+        sampling_locations = jnp.take(sampling_locations, perm, axis=1)
+        scale_weights = jnp.take(scale_weights, perm, axis=1)
+        unperm = sm                     # logical s lives at position sm[s]
+        packed = PackedFeatures(
+            packed.tables, packed.batch, packed.num_views,
+            packed.level_shapes, packed.channels, packed.mxu_tables,
+            num_groups=packed.num_groups, slice_map=None,
+            yfold=packed.yfold)
     x, y, view, batch_row, k = _flat_point_geometry(
         packed, sampling_locations, qmajor)
 
@@ -598,6 +687,51 @@ def _yfold_forward(qmajor: bool,
             x_pix, y_pix, h, w)
         lw = lw_levels[lvl]
 
+        def _fold_window(g2, fxa, fxb, fya, fyb):
+            # single expression, 4 lane/window slices of g2, one output —
+            # see the layout rationale on the unsplit branch below
+            if g2.dtype == jnp.float8_e4m3fn:
+                g2 = g2.astype(jnp.bfloat16)
+            xa = fxa[:, None].astype(g2.dtype)
+            xb = fxb[:, None].astype(g2.dtype)
+            return (((g2[:, 0, :c] * xa).astype(jnp.float32)
+                     + (g2[:, 1, :c] * xb).astype(jnp.float32)) * fya
+                    + ((g2[:, 0, c:] * xa).astype(jnp.float32)
+                       + (g2[:, 1, c:] * xb).astype(jnp.float32)) * fyb)
+
+        if split[lvl] > 1:
+            # chunk-split ring level: one gather per chunk buffer over the
+            # statically-sliced physical-slot range. Same index count; each
+            # <=70 MB chunk buffer gets MSA-prefetched into VMEM while its
+            # predecessor gathers (~11.5 -> ~6.8 ns/idx on v5e — the win
+            # the whole mode exists for).
+            sp = split[lvl]
+            assert packed.yfold[lvl], "table_split requires yfold tables"
+            sg = b // sp                       # slices per chunk
+
+            def ch(a, ci):
+                return jax.lax.slice_in_dim(
+                    a.reshape(q, b, p), ci * sg, (ci + 1) * sg,
+                    axis=1).reshape(-1)
+
+            pieces = []
+            for ci in range(sp):
+                row = packed.row_index(ch(batch_row, ci) - ci * sg,
+                                       ch(view, ci), ch(ry, ci), h)
+                starts = jnp.stack([row, ch(sx, ci)], axis=-1)
+                gch = jax.lax.gather(packed.tables[lvl][ci], starts,
+                                     window_dnums, slice_sizes=(1, 2, 2 * c),
+                                     mode="promise_in_bounds")
+                lwc = ch(lw, ci)
+                piece = _fold_window(gch[:, 0], ch(wxa, ci), ch(wxb, ci),
+                                     (ch(wya, ci) * lwc)[:, None],
+                                     (ch(wyb, ci) * lwc)[:, None])
+                pieces.append(piece.reshape(q, sg, p, c))
+            lvl_out = jnp.concatenate(pieces, axis=1).reshape(k, c)
+            out = out + lvl_out.astype(acc_dtype)
+            out = jax.lax.optimization_barrier(out)
+            continue
+
         if packed.yfold[lvl]:
             row = packed.row_index(batch_row, view, ry, h)
             starts = jnp.stack([row, sx], axis=-1)            # [K, 2]
@@ -617,26 +751,17 @@ def _yfold_forward(qmajor: bool,
             # (+4.3 ms), fused Pallas epilogue
             # (ops/msmv_epilogue_pallas.py STATUS: gather fusion regrows
             # ~5 ms with a custom-call consumer).
-            g2 = g[:, 0]                                      # [K, 2, 2C]
-            if g2.dtype == jnp.float8_e4m3fn:
-                # fp8 ring level (streaming VMEM-pin mode, see
-                # inference.ring_table_dtypes): dequant is a pure upcast —
-                # e4m3 is scale-free — fused into this fold fusion
-                g2 = g2.astype(jnp.bfloat16)
-            xa = wxa[:, None].astype(g2.dtype)
-            xb = wxb[:, None].astype(g2.dtype)
-            ya = (wya * lw)[:, None]
-            yb = (wyb * lw)[:, None]
-            # single expression, 4 lane/window slices of g2, one output:
-            # a two-stage form (row = x-fold; then slice row twice for the
-            # y-fold) gives `row` two consumers, XLA splits it into two
-            # fusions per level, and the materialized fp32 [K, 2C]
-            # intermediates evict the gather outputs from VMEM (+5 ms on
-            # the gathers themselves, r3 profile)
-            lvl_out = (((g2[:, 0, :c] * xa).astype(jnp.float32)
-                        + (g2[:, 1, :c] * xb).astype(jnp.float32)) * ya
-                       + ((g2[:, 0, c:] * xa).astype(jnp.float32)
-                          + (g2[:, 1, c:] * xb).astype(jnp.float32)) * yb)
+            # single expression, 4 lane/window slices of g[:, 0], one
+            # output (see _fold_window): a two-stage form (row = x-fold;
+            # then slice row twice for the y-fold) gives `row` two
+            # consumers, XLA splits it into two fusions per level, and the
+            # materialized fp32 [K, 2C] intermediates evict the gather
+            # outputs from VMEM (+5 ms on the gathers themselves, r3
+            # profile). fp8 ring levels (streaming VMEM mode, see
+            # inference.ring_table_dtypes) upcast inside the fold fusion —
+            # e4m3 is scale-free, dequant is a pure convert.
+            lvl_out = _fold_window(g[:, 0], wxa, wxb,
+                                   (wya * lw)[:, None], (wyb * lw)[:, None])
             out = out + lvl_out.astype(acc_dtype)
             # barrier the accumulator each level: otherwise XLA merges the
             # four level adds into ONE fusion over all four level folds,
@@ -669,4 +794,8 @@ def _yfold_forward(qmajor: bool,
                            + (g2[:, 1] * w1).astype(jnp.float32))
                 out = out + lvl_out.astype(acc_dtype)
 
-    return out.reshape(d0, d1, p, c)  # [S, Q, P, C] or [Q, S, P, C]
+    out = out.reshape(d0, d1, p, c)   # [S, Q, P, C] or [Q, S, P, C]
+    if unperm is not None:
+        # back from physical-slot order to logical frame order
+        out = jnp.take(out, unperm, axis=1)
+    return out

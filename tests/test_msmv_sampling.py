@@ -362,3 +362,50 @@ def test_tap_fold_epilogue_matches_xla(rng):
                  + g[:, 1, 0] * (w[:, 1] * w[:, 2])[:, None]
                  + g[:, 1, 1] * (w[:, 1] * w[:, 3])[:, None])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_chunk_split_matches_unsplit(rng):
+    """Chunk-split streaming ring (table_split): per-level tuple-of-chunk
+    buffers + the physical-slot point permutation must sample EXACTLY like
+    the unsplit ring (same dtype, same per-point math — only the gather
+    partitioning differs), for an arbitrary full slot permutation."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        msmv_sampling, pack_mlvl_feats_grouped, ring_init, ring_packed,
+        ring_update)
+    t, n, g, cg = 4, 6, 2, 8
+    c = g * cg
+    q, p = 5, 3
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    # query-major layout (the streaming head's): [Q, T*G, P, ...]
+    loc = rng.rand(q, t * g, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(q, t * g, p, len(shapes)).astype(np.float32)
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+
+    # frames land out of order; slots are a FULL permutation of 0..T-1
+    slots_of_t = np.array([2, 0, 3, 1], np.int32)
+    fp0 = pack_mlvl_feats_grouped([f[:, :n] for f in jf], n, g)
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)
+
+    rings = {}
+    for split in ((1, 1), (2, 1), (4, 2)):
+        ring = ring_init(fp0, t, jnp.float32, split)
+        for i in range(t):
+            fp = pack_mlvl_feats_grouped(
+                [f[:, i * n:(i + 1) * n] for f in jf], n, g)
+            ring = ring_update(ring, fp, jnp.int32(slots_of_t[i]))
+        rings[split] = ring
+
+    def run(ring):
+        packed = ring_packed(ring, jnp.asarray(slots_of_t), t, meta)
+        return np.asarray(jax.jit(
+            lambda pk: msmv_sampling(pk, jl, jw, qmajor=True))(packed))
+
+    want = run(rings[(1, 1)])
+    assert np.isfinite(want).all()
+    for split in ((2, 1), (4, 2)):
+        got = run(rings[split])
+        np.testing.assert_array_equal(got, want), split

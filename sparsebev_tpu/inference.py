@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.msmv_sampling import ring_init, ring_packed, ring_update
+from .ops.msmv_sampling import (ring_copy_slot, ring_init, ring_packed,
+                                ring_update)
 
 
 def compiler_options_from_env():
@@ -231,8 +232,8 @@ class StreamingDetector:
         self.mesh = mesh
         self.coder = coder
         self.cache_size = max(cache_size, num_frames)
-        self._splits = None  # resolved per-level on first frame
-        if any(s > 1 for s in _head_split_spec(model)):
+        self._split_mode = any(s > 1 for s in _head_split_spec(model))
+        if self._split_mode:
             # chunk-split rings need exactly one chunk-partition of the
             # T-frame window: points partition statically by physical slot
             # only when every ring slot belongs to the current sample
@@ -245,6 +246,7 @@ class StreamingDetector:
         self.ring = None    # per-level table ring (device buffers)
         self._meta = None   # single-frame PackedFeatures geometry (static)
         self._head = None   # built lazily once _meta is known
+        self._copy = None   # jitted ring_copy_slot, built with _head
 
         self._pack_frame = jax.jit(lambda v, img: model.apply(
             v, img, train=False, method=model.forward_frame_packed))
@@ -271,14 +273,52 @@ class StreamingDetector:
         return jax.jit(_head, static_argnums=(5, 6))
 
     def _slot_for_new_frame(self, protected) -> int:
-        if len(self.slot_of_key) < self.cache_size:
-            return len(self.slot_of_key)
+        used = set(self.slot_of_key.values())
+        if len(used) < self.cache_size:
+            # lowest free physical slot (not simply len(slot_of_key):
+            # duplicate-frame aliasing below may evict without reinserting,
+            # leaving holes anywhere in the slot space)
+            return min(s for s in range(self.cache_size) if s not in used)
         # FIFO evict (reference :290-292) — but never a frame of the sample
         # being assembled (possible when cache_size is close to T)
         for victim in self.slot_of_key:
             if victim not in protected:
                 return self.slot_of_key.pop(victim)
         raise RuntimeError("ring cache smaller than the frame window")
+
+    def _dedupe_slots(self, slots, protected):
+        """Make the sample's [T] slot list a bijection onto physical slots.
+
+        The chunk-split gather (_yfold_forward) partitions points statically
+        by PHYSICAL slot, which silently reads wrong chunks when the window
+        maps two logical frames to one slot — normal at sequence start, where
+        the loader pads missing history by repeating the keyframe (reference
+        loading.py:59-72). Each duplicate occurrence gets its frame's table
+        rows COPIED into a free physical slot (ring_copy_slot); alias slots
+        are transient (not cached), so later frames may overwrite them.
+        """
+        seen, out = set(), []
+        free = [s for s in range(self.cache_size)
+                if s not in set(self.slot_of_key.values())]
+        for s in slots:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+                continue
+            if free:
+                dst = free.pop(0)
+            else:
+                for victim in self.slot_of_key:
+                    if victim not in protected:
+                        dst = self.slot_of_key.pop(victim)
+                        break
+                else:
+                    raise RuntimeError(
+                        "ring cache smaller than the frame window")
+            self.ring = self._copy(self.ring, jnp.int32(s), jnp.int32(dst))
+            seen.add(dst)
+            out.append(dst)
+        return out
 
     def _ensure_frame(self, key: str, frame_imgs_fn,
                       protected) -> int:
@@ -296,6 +336,10 @@ class StreamingDetector:
                                   ring_table_splits(self.model, fp,
                                                     self.cache_size))
             self._head = self._build_head()
+            meta = self._meta
+            self._copy = jax.jit(
+                lambda ring, src, dst: ring_copy_slot(ring, meta, src, dst),
+                donate_argnums=(0,))
         slot = self._slot_for_new_frame(protected)
         self.ring = self._update(self.ring, fp, jnp.int32(slot))
         self.slot_of_key[key] = slot
@@ -335,6 +379,8 @@ class StreamingDetector:
 
         slots = [self._ensure_frame(keys[i], upload(i), protected)
                  for i in range(t)]
+        if self._split_mode and len(set(slots)) < t:
+            slots = self._dedupe_slots(slots, protected)
 
         return self._head(self.variables, self.ring,
                           jnp.asarray(slots, jnp.int32),

@@ -287,8 +287,8 @@ def ring_update(ring_tables, frame_packed: PackedFeatures, slot):
         if isinstance(ring, tuple):
             # chunk-split level: the new frame lands in ONE chunk buffer.
             # lax.switch picks it; pass-through branches forward the other
-            # buffers (the branch copies this costs are charged once per
-            # sample vs the per-layer gather win — see _yfold_forward).
+            # buffers (the pass-through copies are charged once per sample,
+            # against the per-layer gather win — see _yfold_forward).
             sp = len(ring)
             assert ring[0].shape[0] % rows_per_frame == 0
             cf = ring[0].shape[0] // rows_per_frame   # frames per chunk
@@ -311,6 +311,53 @@ def ring_update(ring_tables, frame_packed: PackedFeatures, slot):
             out.append(jax.lax.dynamic_update_slice_in_dim(
                 ring, _cast(frame, ring.dtype), slot * rows_per_frame,
                 axis=0))
+    return tuple(out)
+
+
+def ring_copy_slot(ring_tables, frame_packed_meta: PackedFeatures, src, dst):
+    """Copy one frame's table rows from ring slot ``src`` to slot ``dst``.
+
+    Needed by the chunk-split streaming mode: its static chunk partition
+    requires the sample's [T] slot list to be a BIJECTION onto ring slots,
+    but duplicate frames in the T-window are normal at sequence start (the
+    reference pads missing history by repeating the keyframe,
+    loading.py:59-72). StreamingDetector then duplicates the frame's table
+    rows into a free physical slot instead of feeding a non-bijective
+    slice_map to the split gather (which would silently read stale slots).
+    ``src``/``dst`` may be traced int scalars. Returns the updated ring.
+    """
+    shapes = frame_packed_meta.level_shapes
+    out = []
+    for ring, (h, w) in zip(ring_tables, shapes):
+        rows = (frame_packed_meta.num_views * h * frame_packed_meta.num_groups)
+        if isinstance(ring, tuple):
+            sp = len(ring)
+            cf = ring[0].shape[0] // rows            # frames per chunk
+            src_buf = (src // cf) % sp
+            src_off = (src % cf) * rows
+            frame = jax.lax.switch(
+                src_buf,
+                [lambda r, _i=i: jax.lax.dynamic_slice_in_dim(
+                    r[_i], src_off, rows, axis=0) for i in range(sp)],
+                ring)
+            dst_buf = (dst // cf) % sp
+            dst_off = (dst % cf) * rows
+
+            def _wr(b):
+                def br(r):
+                    return tuple(
+                        jax.lax.dynamic_update_slice_in_dim(
+                            buf, frame, dst_off, axis=0) if i == b else buf
+                        for i, buf in enumerate(r))
+                return br
+
+            out.append(jax.lax.switch(
+                dst_buf, [_wr(b) for b in range(sp)], ring))
+        else:
+            frame = jax.lax.dynamic_slice_in_dim(
+                ring, src * rows, rows, axis=0)
+            out.append(jax.lax.dynamic_update_slice_in_dim(
+                ring, frame, dst * rows, axis=0))
     return tuple(out)
 
 

@@ -16,8 +16,25 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8
 
+import subprocess  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Build the native loader if missing/stale so tests/test_fastloader.py runs
+# by default instead of skipping (VERDICT r3 #7). Best-effort: if the
+# toolchain is absent the 9 loader tests fall back to their skip marker.
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "csrc")
+try:
+    subprocess.run(["make", "-C", _CSRC, "-q"], capture_output=True,
+                   check=True)
+except (OSError, subprocess.CalledProcessError):
+    try:
+        subprocess.run(["make", "-C", _CSRC], capture_output=True,
+                       timeout=120)
+    except Exception:
+        pass
 
 
 @pytest.fixture

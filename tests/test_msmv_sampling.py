@@ -408,4 +408,35 @@ def test_ring_chunk_split_matches_unsplit(rng):
     assert np.isfinite(want).all()
     for split in ((2, 1), (4, 2)):
         got = run(rings[split])
-        np.testing.assert_array_equal(got, want), split
+        np.testing.assert_array_equal(got, want, err_msg=str(split))
+
+
+def test_ring_copy_slot_matches_update(rng):
+    """ring_copy_slot (the chunk-split duplicate-frame dedupe, ADVICE r3
+    high): copying frame rows src->dst must equal ring_update'ing dst with
+    that frame's packed features — for unsplit AND chunk-split rings, with
+    traced src/dst, across same-chunk and cross-chunk (src,dst) pairs."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        pack_mlvl_feats_grouped, ring_copy_slot, ring_init, ring_update)
+    t, n, g, cg = 4, 6, 2, 8
+    c = g * cg
+    shapes = [(8, 12), (4, 6)]
+    feats = [jnp.asarray(rng.randn(1, t * n, h, w, c).astype(np.float32))
+             for h, w in shapes]
+    fps = [pack_mlvl_feats_grouped([f[:, i * n:(i + 1) * n] for f in feats],
+                                   n, g) for i in range(t)]
+    for split in ((1, 1), (2, 1), (4, 2)):
+        ring = ring_init(fps[0], t, jnp.float32, split)
+        for i in range(t):
+            ring = ring_update(ring, fps[i], jnp.int32(i))
+        copy = jax.jit(lambda r, s, d: ring_copy_slot(r, fps[0], s, d))
+        # (1,3): cross-chunk at split 4, cross-chunk at split 2
+        # (1,0): cross-chunk at split 4, SAME chunk at split 2
+        for src, dst in ((1, 3), (1, 0)):
+            got = copy(ring, jnp.int32(src), jnp.int32(dst))
+            want = ring_update(ring, fps[src], jnp.int32(dst))
+            for a, b in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(want)):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"split={split} {src}->{dst}")

@@ -104,6 +104,24 @@ def ring_table_splits(model, frame_packed, num_frames: int):
     return spec
 
 
+def ring_table_gsplits(model, frame_packed):
+    """Per-level GROUP-split flags (head config ``table_gsplit``, bool or
+    per-level sequence; default False).
+
+    A marked level's streaming ring is stored as ``num_groups`` separate
+    per-group chunk buffers (ops.msmv_sampling.GroupSplitRing): the gather
+    partitions on the STATIC group axis, so — unlike ``table_split`` — there
+    is no runtime point permute, no lax.switch in the ring update, and no
+    slot-bijection fixup, while each chunk (r50 L1: 139/4 = 35 MB) drops
+    under XLA MSA's VMEM prefetch threshold (~11.5 -> ~6.8 ns/idx measured
+    v5e). bf16-exact vs the unsplit ring."""
+    spec = model.pts_bbox_head.get("table_gsplit", False)
+    n = len(frame_packed.level_shapes)
+    if isinstance(spec, bool):
+        spec = (spec,) * n
+    return tuple(bool(s) for s in spec)
+
+
 def init_streaming_variables(model, frame, lidar2img, time_diff,
                              image_h: int, image_w: int, seed: int = 0):
     """Initialize model variables WITHOUT a full T-frame forward.
@@ -184,7 +202,8 @@ def make_ring_bench(model, variables, frame, lidar2img, time_diff,
     fp0 = pack(variables, frame)
     meta = jax.tree_util.tree_map(lambda _: None, fp0)  # geometry only
     ring = ring_init(fp0, num_frames, ring_table_dtypes(model, fp0),
-                     ring_table_splits(model, fp0, num_frames))
+                     ring_table_splits(model, fp0, num_frames),
+                     ring_table_gsplits(model, fp0))
     upd = jax.jit(ring_update, donate_argnums=(0,))
     for s in range(num_frames):  # prefill so iteration 0 sees a full window
         ring = upd(ring, fp0, jnp.int32(s))
@@ -334,7 +353,8 @@ class StreamingDetector:
             self.ring = ring_init(fp, self.cache_size,
                                   ring_table_dtypes(self.model, fp),
                                   ring_table_splits(self.model, fp,
-                                                    self.cache_size))
+                                                    self.cache_size),
+                                  ring_table_gsplits(self.model, fp))
             self._head = self._build_head()
             meta = self._meta
             self._copy = jax.jit(

@@ -77,6 +77,12 @@ class SparseBEVHead(nn.Module):
     # N separate chunk buffers so XLA prefetch-pipelines them into VMEM
     # during the sampling gathers — bf16-exact, same index count
     table_split: Any = 1
+    # streaming ring GROUP-split flags (bool or per-level; consumed by
+    # inference.ring_table_gsplits): the static-partition variant — one
+    # chunk buffer per sampling group, no runtime permute / no update
+    # switch / no slot-dedupe. Preferred over table_split when
+    # ring_bytes / num_groups lands in MSA's 35-70 MB prefetch window
+    table_gsplit: Any = False
 
     def setup(self):
         c = self.in_channels

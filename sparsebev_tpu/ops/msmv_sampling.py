@@ -42,6 +42,7 @@ from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # sampling implementation selector: "xla" (y-fold gather everywhere; default,
@@ -83,7 +84,8 @@ class PackedFeatures:
     """
 
     def __init__(self, tables, batch, num_views, level_shapes, channels,
-                 mxu_tables=(), num_groups=1, slice_map=None, yfold=True):
+                 mxu_tables=(), num_groups=1, slice_map=None, yfold=True,
+                 slice_groups=None):
         self.tables = tuple(tables)      # per level [rows, W+1, 2C] or None
         self.batch = batch               # slice count B' fed to the gather
         self.num_views = num_views
@@ -121,19 +123,32 @@ class PackedFeatures:
         # one-take permute (see _yfold_forward). bf16-exact vs unsplit.
         self.split = tuple(
             len(t) if isinstance(t, tuple) else 1 for t in self.tables)
+        # GROUP-split mode (static sibling of the slot chunk-split; see
+        # GroupSplitRing): the chunk a point reads is its group index, so
+        # the partition is compile-time static — no permutes, no dedupe.
+        self.gsplit = tuple(
+            isinstance(t, GroupSplitRing) for t in self.tables)
+        # STATIC group of each slice-axis position (tuple of len batch).
+        # The slice AXIS ordering is caller-defined — ring_packed emits
+        # (t, g) while the decoder's sampling_4d re-pack emits (b, g, t) —
+        # so group-split levels cannot assume s % G; they partition by this
+        # pattern instead. None is fine when no level is group-split.
+        self.slice_groups = (None if slice_groups is None
+                             else tuple(int(x) for x in slice_groups))
         # "hybrid" impl only: bf16 [B, N*H, W*C] tables for the MXU levels
         self.mxu_tables = tuple(mxu_tables)
 
     def tree_flatten(self):
         return ((self.tables, self.mxu_tables, self.slice_map),
                 (self.batch, self.num_views, self.level_shapes, self.channels,
-                 self.num_groups, self.yfold))
+                 self.num_groups, self.yfold, self.slice_groups))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         tables, mxu_tables, slice_map = children
         return cls(tables, aux[0], aux[1], aux[2], aux[3], mxu_tables,
-                   num_groups=aux[4], slice_map=slice_map, yfold=aux[5])
+                   num_groups=aux[4], slice_map=slice_map, yfold=aux[5],
+                   slice_groups=aux[6])
 
     def row_index(self, slice_idx, view, row_y, height):
         """Flat table row for (slice, view, y-row) under the row order above."""
@@ -208,8 +223,40 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
                           num_groups=g, yfold=yfold)
 
 
+@jax.tree_util.register_pytree_node_class
+class GroupSplitRing:
+    """Marker pytree for a GROUP-split ring level: ``bufs[g]`` holds group
+    ``g``'s table rows for ALL ring slots, ordered (slot, n, h).
+
+    Group-split is the STATIC sibling of the slot chunk-split: the chunk a
+    point belongs to is its (static) group index, not its (traced) ring
+    slot — so the gather partitions with zero runtime permutes, the ring
+    update writes every chunk with a plain dynamic_update_slice (no
+    lax.switch pass-through copies), and duplicate frames in the T-window
+    need no dedupe (the slot indirection stays inside the gather's index
+    computation). r50 L1: 139 MB -> 4 x 35 MB chunks, each under XLA MSA's
+    VMEM prefetch threshold (~11.5 -> ~6.8 ns/idx, measured v5e — see
+    PackedFeatures.split for the mechanism)."""
+
+    def __init__(self, bufs):
+        self.bufs = tuple(bufs)
+
+    def tree_flatten(self):
+        return (self.bufs, None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+    def __len__(self):
+        return len(self.bufs)
+
+    def __getitem__(self, i):
+        return self.bufs[i]
+
+
 def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
-              dtype=jnp.bfloat16, split=1):
+              dtype=jnp.bfloat16, split=1, gsplit=False):
     """Allocate an all-zero table ring with ``num_slots`` frame slots.
 
     ``frame_packed_meta`` supplies the per-frame table geometry (a
@@ -221,8 +268,11 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
     covering ``num_slots/split`` slots each, which XLA prefetch-pipelines
     into VMEM during the gathers (see PackedFeatures.split; separate
     buffers are required — slice views of one array do not prefetch,
-    measured +1.5 ms/sample on v5e). Returns a per-level tuple of
-    [S*N*H*G, W+1, 2Cg] arrays (or per-level tuples of chunk buffers)."""
+    measured +1.5 ms/sample on v5e). ``gsplit`` (bool or per-level
+    sequence) allocates that level as ``num_groups`` SEPARATE per-group
+    chunk buffers instead — the static-partition variant (GroupSplitRing);
+    mutually exclusive with ``split`` per level. Returns a per-level tuple
+    of [S*N*H*G, W+1, 2Cg] arrays (or per-level chunk containers)."""
     shapes = frame_packed_meta.level_shapes
     if not isinstance(dtype, (list, tuple)):
         dtype = (dtype,) * len(shapes)
@@ -236,12 +286,30 @@ def ring_init(frame_packed_meta: PackedFeatures, num_slots: int,
         raise ValueError(
             f"per-level split sequence has {len(split)} entries for "
             f"{len(shapes)} feature levels (check table_split in the config)")
+    if not isinstance(gsplit, (list, tuple)):
+        gsplit = (gsplit,) * len(shapes)
+    if len(gsplit) != len(shapes):
+        raise ValueError(
+            f"per-level gsplit sequence has {len(gsplit)} entries for "
+            f"{len(shapes)} feature levels (check table_gsplit in the config)")
     ring = []
-    for (h, w), yf, dt, sp in zip(shapes, frame_packed_meta.yfold, dtype,
-                                  split):
+    for (h, w), yf, dt, sp, gs in zip(shapes, frame_packed_meta.yfold, dtype,
+                                      split, gsplit):
         ch = (2 if yf else 1) * frame_packed_meta.channels
         rows = frame_packed_meta.num_views * h * frame_packed_meta.num_groups
-        if sp == 1:
+        if gs:
+            if sp != 1:
+                raise ValueError(
+                    "table_split and table_gsplit are mutually exclusive "
+                    "per level")
+            if not yf:
+                raise ValueError("table_gsplit requires a yfold level")
+            g = frame_packed_meta.num_groups
+            rows_g = frame_packed_meta.num_views * h
+            ring.append(GroupSplitRing(
+                jnp.zeros((num_slots * rows_g, w + 1, ch), dt)
+                for _ in range(g)))
+        elif sp == 1:
             ring.append(jnp.zeros((num_slots * rows, w + 1, ch), dt))
         else:
             if num_slots % sp:
@@ -284,6 +352,20 @@ def ring_update(ring_tables, frame_packed: PackedFeatures, slot):
     out = []
     for ring, frame in zip(ring_tables, frame_packed.tables):
         rows_per_frame = frame.shape[0]
+        if isinstance(ring, GroupSplitRing):
+            # group-split level: the frame's rows are (n, h, g)-ordered; each
+            # group's strided extraction lands in ITS chunk buffer at a plain
+            # dynamic offset — every chunk updates, no lax.switch, no
+            # pass-through copies (the whole point vs the slot chunk-split).
+            g = len(ring)
+            rows_g = rows_per_frame // g
+            fr = _cast(frame, ring[0].dtype)
+            fr = fr.reshape(rows_g, g, *frame.shape[1:])
+            out.append(GroupSplitRing(
+                jax.lax.dynamic_update_slice_in_dim(
+                    buf, fr[:, gi], slot * rows_g, axis=0)
+                for gi, buf in enumerate(ring.bufs)))
+            continue
         if isinstance(ring, tuple):
             # chunk-split level: the new frame lands in ONE chunk buffer.
             # lax.switch picks it; pass-through branches forward the other
@@ -330,6 +412,16 @@ def ring_copy_slot(ring_tables, frame_packed_meta: PackedFeatures, src, dst):
     out = []
     for ring, (h, w) in zip(ring_tables, shapes):
         rows = (frame_packed_meta.num_views * h * frame_packed_meta.num_groups)
+        if isinstance(ring, GroupSplitRing):
+            rows_g = frame_packed_meta.num_views * h
+            out.append(GroupSplitRing(
+                jax.lax.dynamic_update_slice_in_dim(
+                    buf,
+                    jax.lax.dynamic_slice_in_dim(buf, src * rows_g, rows_g,
+                                                 axis=0),
+                    dst * rows_g, axis=0)
+                for buf in ring.bufs))
+            continue
         if isinstance(ring, tuple):
             sp = len(ring)
             cf = ring[0].shape[0] // rows            # frames per chunk
@@ -377,7 +469,9 @@ def ring_packed(ring_tables, slots_of_t, num_frames: int,
     return PackedFeatures(
         ring_tables, num_frames * g, frame_packed_meta.num_views,
         frame_packed_meta.level_shapes, frame_packed_meta.channels,
-        num_groups=g, slice_map=slice_map, yfold=frame_packed_meta.yfold)
+        num_groups=g, slice_map=slice_map, yfold=frame_packed_meta.yfold,
+        # slice axis here is (t, g): position s belongs to group s % g
+        slice_groups=tuple(s % g for s in range(num_frames * g)))
 
 
 def table_acc_dtype(packed: PackedFeatures):
@@ -390,7 +484,7 @@ def table_acc_dtype(packed: PackedFeatures):
     and the custom VJP's halfrow primal MUST use this (jax.vjp rejects
     cotangents whose dtype differs from the primal output)."""
     t0 = packed.tables[0]
-    if isinstance(t0, tuple):
+    if isinstance(t0, (tuple, GroupSplitRing)):
         t0 = t0[0]
     dt = t0.dtype if t0 is not None else jnp.float32
     return dt if dt in (jnp.bfloat16, jnp.float32) else jnp.float32
@@ -539,8 +633,9 @@ def _msmv_halfrow(qmajor: bool,
     so the custom VJP below routes gradients here.
     """
     num_levels = len(packed.level_shapes)
-    assert all(s == 1 for s in packed.split), \
-        "table_split rings are streaming-inference-only (no VJP path)"
+    assert all(s == 1 for s in packed.split) and not any(packed.gsplit), \
+        "table_split/table_gsplit rings are streaming-inference-only " \
+        "(no VJP path)"
     d0, d1, p, _ = sampling_locations.shape
     n = packed.num_views
     c = packed.channels
@@ -645,6 +740,9 @@ def _yfold_forward(qmajor: bool,
     c = packed.channels
     split = packed.split
     unperm = None
+    assert not (any(s > 1 for s in split) and any(packed.gsplit)), \
+        "slot chunk-split and group-split cannot mix (the slot permute " \
+        "would break the group branch's static slice layout)"
     if any(s > 1 for s in split):
         # Chunk-split levels partition points by PHYSICAL ring slot, so the
         # slice axis is reordered into physical order ONCE (two small takes
@@ -745,6 +843,60 @@ def _yfold_forward(qmajor: bool,
                      + (g2[:, 1, :c] * xb).astype(jnp.float32)) * fya
                     + ((g2[:, 0, c:] * xa).astype(jnp.float32)
                        + (g2[:, 1, c:] * xb).astype(jnp.float32)) * fyb)
+
+        if packed.gsplit[lvl]:
+            # GROUP-split ring level: one gather per per-group chunk buffer.
+            # The chunk a point reads is its (STATIC) group index — slicing
+            # group gi out of the [Q, TB, G, P] point layout is a
+            # compile-time strided slice that fuses into the gather's index
+            # computation, and the slot indirection stays inside the index
+            # math (batch_row already carries physical slot*G+g). Same index
+            # count as unsplit; each chunk (L1 at r50: 139/4 = 35 MB) is
+            # under XLA MSA's VMEM prefetch threshold (~11.5 -> ~6.8 ns/idx
+            # measured v5e). Unlike the slot chunk-split below, this needs
+            # NO runtime permute and NO slot-bijection fixup.
+            assert qmajor, "table_gsplit requires the streaming query-major layout"
+            assert packed.yfold[lvl], "table_gsplit requires yfold tables"
+            assert packed.slice_groups is not None, \
+                "group-split tables need PackedFeatures.slice_groups (the " \
+                "static group of each slice position; the slice-axis order " \
+                "is caller-defined)"
+            gg = packed.num_groups
+            sgp = packed.slice_groups
+            idx_of = [tuple(s for s in range(b) if sgp[s] == gi)
+                      for gi in range(gg)]
+
+            def chg(a, idxs):
+                a = a.reshape(q, b, p)
+                lo, hi = idxs[0], idxs[-1] + 1
+                if idxs == tuple(range(lo, hi)):   # contiguous slice run
+                    return jax.lax.slice_in_dim(a, lo, hi, axis=1).reshape(-1)
+                return jnp.take(a, np.asarray(idxs, np.int32),
+                                axis=1).reshape(-1)
+
+            pieces = []
+            for gi in range(gg):
+                idxs = idx_of[gi]
+                slot = chg(batch_row, idxs) // gg
+                row = (slot * n + chg(view, idxs)) * h + chg(ry, idxs)
+                starts = jnp.stack([row, chg(sx, idxs)], axis=-1)
+                gch = jax.lax.gather(packed.tables[lvl][gi], starts,
+                                     window_dnums, slice_sizes=(1, 2, 2 * c),
+                                     mode="promise_in_bounds")
+                lwc = chg(lw, idxs)
+                piece = _fold_window(gch[:, 0], chg(wxa, idxs),
+                                     chg(wxb, idxs),
+                                     (chg(wya, idxs) * lwc)[:, None],
+                                     (chg(wyb, idxs) * lwc)[:, None])
+                pieces.append(piece.reshape(q, len(idxs), p, c))
+            lvl_out = jnp.concatenate(pieces, axis=1)     # chunk order
+            order = sum(idx_of, ())
+            if order != tuple(range(b)):                  # back to logical
+                inv = np.argsort(np.asarray(order)).astype(np.int32)
+                lvl_out = jnp.take(lvl_out, inv, axis=1)
+            out = out + lvl_out.reshape(k, c).astype(acc_dtype)
+            out = jax.lax.optimization_barrier(out)
+            continue
 
         if split[lvl] > 1:
             # chunk-split ring level: one gather per chunk buffer over the

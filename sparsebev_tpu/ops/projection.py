@@ -244,7 +244,11 @@ def sampling_4d(sample_points: Optional[jnp.ndarray],
         mlvl_feats.tables, b * g * t, mlvl_feats.num_views,
         mlvl_feats.level_shapes, mlvl_feats.channels,
         mxu_tables=mlvl_feats.mxu_tables, num_groups=mlvl_feats.num_groups,
-        slice_map=logical, yfold=mlvl_feats.yfold)
+        slice_map=logical, yfold=mlvl_feats.yfold,
+        # slice axis here is (b, g, t): position s -> group (s // t) % g
+        # (group-split levels partition by this STATIC pattern; see
+        # PackedFeatures.slice_groups)
+        slice_groups=tuple((s // t) % g for s in range(b * g * t)))
 
     final = msmv_sampling(packed, loc, sw, qmajor=True)  # [Q, BGT, P, C]
 

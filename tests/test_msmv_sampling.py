@@ -411,6 +411,75 @@ def test_ring_chunk_split_matches_unsplit(rng):
         np.testing.assert_array_equal(got, want, err_msg=str(split))
 
 
+def test_ring_group_split_matches_unsplit(rng):
+    """GROUP-split streaming ring (table_gsplit): per-group chunk buffers
+    with the static group partition must sample EXACTLY like the unsplit
+    ring — for an arbitrary slot permutation AND for a DUPLICATE-slot window
+    (which the slot chunk-split cannot take without a dedupe fixup)."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        msmv_sampling, pack_mlvl_feats_grouped, ring_init, ring_packed,
+        ring_update)
+    t, n, g, cg = 4, 6, 2, 8
+    c = g * cg
+    q, p = 5, 3
+    shapes = [(8, 12), (4, 6)]
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    loc = rng.rand(q, t * g, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(q, t * g, p, len(shapes)).astype(np.float32)
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+
+    fp0 = pack_mlvl_feats_grouped([f[:, :n] for f in jf], n, g)
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)
+
+    rings = {}
+    for gs in (False, (True, False), (True, True)):
+        ring = ring_init(fp0, t, jnp.float32, 1, gs)
+        for i, slot in enumerate((2, 0, 3, 1)):
+            fp = pack_mlvl_feats_grouped(
+                [f[:, i * n:(i + 1) * n] for f in jf], n, g)
+            ring = ring_update(ring, fp, jnp.int32(slot))
+        rings[gs] = ring
+
+    def run(ring, slots):
+        packed = ring_packed(ring, jnp.asarray(slots, jnp.int32), t, meta)
+        return np.asarray(jax.jit(
+            lambda pk: msmv_sampling(pk, jl, jw, qmajor=True))(packed))
+
+    for slots in ((2, 0, 3, 1), (3, 3, 1, 1)):  # permutation + duplicates
+        want = run(rings[False], slots)
+        assert np.isfinite(want).all()
+        for gs in ((True, False), (True, True)):
+            got = run(rings[gs], slots)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"gsplit={gs} {slots}")
+
+
+def test_ring_copy_slot_group_split(rng):
+    """ring_copy_slot on a group-split ring: copy src->dst must equal a
+    ring_update of dst with that frame's packed features."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        pack_mlvl_feats_grouped, ring_copy_slot, ring_init, ring_update)
+    t, n, g, cg = 4, 6, 2, 8
+    c = g * cg
+    shapes = [(8, 12), (4, 6)]
+    feats = [jnp.asarray(rng.randn(1, t * n, h, w, c).astype(np.float32))
+             for h, w in shapes]
+    fps = [pack_mlvl_feats_grouped([f[:, i * n:(i + 1) * n] for f in feats],
+                                   n, g) for i in range(t)]
+    ring = ring_init(fps[0], t, jnp.float32, 1, (True, True))
+    for i in range(t):
+        ring = ring_update(ring, fps[i], jnp.int32(i))
+    got = jax.jit(lambda r, s, d: ring_copy_slot(r, fps[0], s, d))(
+        ring, jnp.int32(1), jnp.int32(3))
+    want = ring_update(ring, fps[1], jnp.int32(3))
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ring_copy_slot_matches_update(rng):
     """ring_copy_slot (the chunk-split duplicate-frame dedupe, ADVICE r3
     high): copying frame rows src->dst must equal ring_update'ing dst with

@@ -200,6 +200,51 @@ def test_streaming_chunk_split_duplicate_frames(synth_ann):
     assert saw_duplicate_window
 
 
+def test_streaming_group_split(synth_ann):
+    """Group-split rings (table_gsplit) in the real streaming path: full
+    synthetic split including the duplicate-window sequence start — which
+    group-split handles WITHOUT the slot-dedupe fixup (the partition is
+    static on the group axis, so the slot list need not be a bijection)."""
+    import jax
+    import jax.numpy as jnp
+    from sparsebev_tpu.config import Config
+    from sparsebev_tpu.builder import build_model, build_dataset
+    from sparsebev_tpu.data.loader import collate_batch
+    from sparsebev_tpu.inference import StreamingDetector
+
+    cfg = Config.fromfile(os.path.join(REPO, "configs/smoke_synthetic.py"))
+    cfg.merge_from_dict({"data.val.ann_file": synth_ann})
+    dataset = build_dataset(cfg.data["val"])
+    model, aux = build_model(cfg)
+    coder = aux.build_coder()
+    nf = cfg.model["pts_bbox_head"]["num_frames"]
+
+    b0 = collate_batch([dataset[0]], max_gt=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        jnp.asarray(b0["img"]), jnp.asarray(b0["lidar2img"]),
+        jnp.asarray(b0["time_diff"]), train=False)
+
+    cfg.merge_from_dict({"model.pts_bbox_head.table_gsplit": True})
+    model_g, aux_g = build_model(cfg)
+    plain = StreamingDetector(model, variables, num_frames=nf, coder=coder)
+    gsp = StreamingDetector(model_g, variables, num_frames=nf,
+                            coder=aux_g.build_coder())
+    assert not gsp._split_mode  # no bijection constraint, full cache kept
+
+    for i in range(len(dataset)):
+        batch = collate_batch([dataset[i]], max_gt=8)
+        fnames = batch["img_metas"][0].get("filename", [])
+        args = (np.asarray(batch["img"]), np.asarray(batch["lidar2img"]),
+                np.asarray(batch["time_diff"]), fnames)
+        want = jax.device_get(plain.infer(*args))
+        got = jax.device_get(gsp.infer(*args))
+        np.testing.assert_allclose(got["scores"], want["scores"],
+                                   rtol=1e-4, atol=1e-5, err_msg=f"sample {i}")
+        np.testing.assert_allclose(got["bboxes"], want["bboxes"],
+                                   rtol=1e-3, atol=1e-3, err_msg=f"sample {i}")
+
+
 def test_multi_ann_file(synth_ann):
     from sparsebev_tpu.data import NuScenesSweepDataset
     ds1 = NuScenesSweepDataset(ann_file=synth_ann, pipeline=[])

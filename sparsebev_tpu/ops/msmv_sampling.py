@@ -865,14 +865,26 @@ def _yfold_forward(qmajor: bool,
             sgp = packed.slice_groups
             idx_of = [tuple(s for s in range(b) if sgp[s] == gi)
                       for gi in range(gg)]
+            # fast layout path: every chunk's slices form a contiguous run
+            # AND the runs appear in order (the decoder's (b, g, t) slice
+            # order with b=1 — the streaming case). Then chunk extraction
+            # is a LANE-dim slice of the [Q, S*P] bitcast view of the flat
+            # [K] geometry (a [Q, S, P] reshape instead tiles P=4 into
+            # lanes and relayout-copies every operand: +2 ms/sample,
+            # profiled 2026-08-19), and reassembly is a lane-dim concat of
+            # [Q, run*P*C] bitcast views — no transpose, and the level
+            # accumulation keeps fusing like the unsplit branch.
+            fast = (all(ix == tuple(range(ix[0], ix[-1] + 1))
+                        for ix in idx_of if ix)
+                    and sum((list(ix) for ix in idx_of), []) == list(range(b)))
 
-            def chg(a, idxs):
-                a = a.reshape(q, b, p)
-                lo, hi = idxs[0], idxs[-1] + 1
-                if idxs == tuple(range(lo, hi)):   # contiguous slice run
-                    return jax.lax.slice_in_dim(a, lo, hi, axis=1).reshape(-1)
-                return jnp.take(a, np.asarray(idxs, np.int32),
-                                axis=1).reshape(-1)
+            def chg(a, ix):
+                if fast:
+                    return jax.lax.slice_in_dim(
+                        a.reshape(q, b * p), ix[0] * p, (ix[-1] + 1) * p,
+                        axis=1).reshape(-1)
+                return jnp.take(a.reshape(q, b, p),
+                                np.asarray(ix, np.int32), axis=1).reshape(-1)
 
             pieces = []
             for gi in range(gg):
@@ -888,13 +900,16 @@ def _yfold_forward(qmajor: bool,
                                      chg(wxb, idxs),
                                      (chg(wya, idxs) * lwc)[:, None],
                                      (chg(wyb, idxs) * lwc)[:, None])
-                pieces.append(piece.reshape(q, len(idxs), p, c))
-            lvl_out = jnp.concatenate(pieces, axis=1)     # chunk order
-            order = sum(idx_of, ())
-            if order != tuple(range(b)):                  # back to logical
+                pieces.append(piece.reshape(q, len(idxs) * p * c) if fast
+                              else piece.reshape(q, len(idxs), p, c))
+            if fast:
+                lvl_out = jnp.concatenate(pieces, axis=1).reshape(k, c)
+            else:
+                lvl_out = jnp.concatenate(pieces, axis=1)  # chunk order
+                order = sum(idx_of, ())
                 inv = np.argsort(np.asarray(order)).astype(np.int32)
-                lvl_out = jnp.take(lvl_out, inv, axis=1)
-            out = out + lvl_out.reshape(k, c).astype(acc_dtype)
+                lvl_out = jnp.take(lvl_out, inv, axis=1).reshape(k, c)
+            out = out + lvl_out.astype(acc_dtype)
             out = jax.lax.optimization_barrier(out)
             continue
 

@@ -113,6 +113,6 @@ def test_bench_machinery_cpu():
 
     fps = bench.bench_config("configs/smoke_synthetic.py", iters=2)
     assert fps > 0
-    fps_e2e = bench.bench_e2e_flagship(num_samples=2,
-                                       cfg_path="configs/smoke_synthetic.py")
-    assert fps_e2e > 0
+    serial_fps, overlapped_fps = bench.bench_e2e_flagship(
+        num_samples=2, cfg_path="configs/smoke_synthetic.py")
+    assert serial_fps > 0 and overlapped_fps > 0

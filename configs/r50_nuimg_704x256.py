@@ -64,6 +64,13 @@ model = dict(
         num_levels=num_levels,
         code_size=10,
         pc_range=point_cloud_range,
+        # streaming-ring group-split: L1's 139 MB bf16 ring becomes 4x35 MB
+        # per-group chunk buffers that XLA MSA prefetch-pipelines into VMEM
+        # during the sampling gathers (group-major level loop,
+        # ops/msmv_sampling.py::_gmajor_forward). bf16-exact; measured on
+        # v5e 2026-08-19: 48.34 -> 43.19 ms/sample streaming (+11.9% FPS).
+        # L0 (557 MB -> 139 MB chunks) measured a wash and stays unsplit.
+        table_gsplit=(False, True, False, False),
         query_denoising=True,
         query_denoising_groups=10,
         code_weights=[2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],

@@ -106,36 +106,41 @@ def mixing_core_tpu(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
 def _mixing_kernel_batched(x_ref, m_ref, s_ref, o_ref, *, eps):
     """Batched formulation: ONE dot_general with a single batch dim per
     phase (the fold of (BQ, G) into one axis happens host-side), LN stats
-    via nested non-keepdims reduces + explicit broadcast_to. This is the
-    formulation the r2 Mosaic compiler rejected; re-tried r3 with the
-    stats reshaped away from 3D keepdims."""
-    blk = x_ref.shape[0]
+    with every intermediate kept RANK >= 2 — the r3 retry (nested
+    non-keepdims reduces, [blk]-shaped stats) crashed Mosaic at
+    layout.h:320 `Check failed: arr.size() >= layout_rank`, which points
+    at the rank-1 [blk] values: a vector layout needs >= 2 dims. This r4
+    variant reduces axis 2 then axis 1 WITH keepdims, so stats stay
+    [blk, 1] / [blk, 1, 1] and no rank-1 array ever exists."""
     x = x_ref[...]
     m = m_ref[...]
     h1 = jax.lax.dot_general(
         x, m, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [blk, P, C]
     n1 = h1.shape[1] * h1.shape[2]
-    mu = jnp.sum(jnp.sum(h1, axis=2), axis=1) / n1     # [blk]
-    sq = jnp.sum(jnp.sum(h1 * h1, axis=2), axis=1) / n1
+    mu = jnp.sum(jnp.sum(h1, axis=2, keepdims=True), axis=1,
+                 keepdims=True) / n1                   # [blk, 1, 1]
+    sq = jnp.sum(jnp.sum(h1 * h1, axis=2, keepdims=True), axis=1,
+                 keepdims=True) / n1
     var = jnp.maximum(sq - mu * mu, 0.0)
     rs = jax.lax.rsqrt(var + eps)
-    mu3 = jnp.broadcast_to(mu[:, None, None], h1.shape)
-    rs3 = jnp.broadcast_to(rs[:, None, None], h1.shape)
-    h1 = jnp.maximum((h1 - mu3) * rs3, 0.0)
+    h1 = jnp.maximum((h1 - jnp.broadcast_to(mu, h1.shape))
+                     * jnp.broadcast_to(rs, h1.shape), 0.0)
 
     h2 = jax.lax.dot_general(
         s_ref[...], h1.astype(s_ref.dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [blk, O, C]
     n2 = h2.shape[1] * h2.shape[2]
-    mu2 = jnp.sum(jnp.sum(h2, axis=2), axis=1) / n2
-    sq2 = jnp.sum(jnp.sum(h2 * h2, axis=2), axis=1) / n2
+    mu2 = jnp.sum(jnp.sum(h2, axis=2, keepdims=True), axis=1,
+                  keepdims=True) / n2
+    sq2 = jnp.sum(jnp.sum(h2 * h2, axis=2, keepdims=True), axis=1,
+                  keepdims=True) / n2
     var2 = jnp.maximum(sq2 - mu2 * mu2, 0.0)
     rs2 = jax.lax.rsqrt(var2 + eps)
-    mu23 = jnp.broadcast_to(mu2[:, None, None], h2.shape)
-    rs23 = jnp.broadcast_to(rs2[:, None, None], h2.shape)
-    o_ref[...] = jnp.maximum((h2 - mu23) * rs23, 0.0).astype(o_ref.dtype)
+    o_ref[...] = jnp.maximum(
+        (h2 - jnp.broadcast_to(mu2, h2.shape))
+        * jnp.broadcast_to(rs2, h2.shape), 0.0).astype(o_ref.dtype)
 
 
 def mixing_core_tpu_batched(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,

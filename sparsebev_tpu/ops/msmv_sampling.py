@@ -726,6 +726,122 @@ def msmv_sampling(mlvl_feats: Union[PackedFeatures, Sequence[jnp.ndarray]],
                           scale_weights)
 
 
+def _fold_window_taps(g2, fxa, fxb, fya, fyb, c):
+    """y-fold window tap contraction: [Kx, 2, 2C] gather window -> [Kx, C].
+
+    Single expression, 4 lane/window slices of ``g2``, one output — the
+    x fold runs as bf16 products with fp32 adds, then the y/level weights
+    fold in fp32; every op stays in the gather's native channel-minor
+    layout (see the layout rationale on the unsplit yfold branch)."""
+    if g2.dtype == jnp.float8_e4m3fn:
+        g2 = g2.astype(jnp.bfloat16)
+    xa = fxa[:, None].astype(g2.dtype)
+    xb = fxb[:, None].astype(g2.dtype)
+    return (((g2[:, 0, :c] * xa).astype(jnp.float32)
+             + (g2[:, 1, :c] * xb).astype(jnp.float32)) * fya
+            + ((g2[:, 0, c:] * xa).astype(jnp.float32)
+               + (g2[:, 1, c:] * xb).astype(jnp.float32)) * fyb)
+
+
+def _gmajor_forward(packed: PackedFeatures, x, y, view, batch_row,
+                    lw_levels, q, b, p, idx_of, window_dnums, acc_dtype):
+    """GROUP-MAJOR streaming level loop for group-split rings.
+
+    The per-level gsplit branch in :func:`_yfold_forward` was measured a
+    WASH on v5e (2026-08-19 trace diff, docs/ROADMAP.md): its chunk gathers
+    hit the fast MSA-prefetch rate (~6.4-7.7 ns/idx vs 11.5 unsplit) but
+    per layer the glue gave the ~0.5 ms win back — an un-fused level
+    accumulate, a [Q,S*P*C] -> [K,C] chunk reassembly, and per-level
+    geometry-operand slices. This loop restructures the WHOLE level walk
+    group-major instead: geometry is lane-sliced once per group (not per
+    level), each group accumulates its own [Kg, C] so the level adds fuse
+    into the fold fusions exactly like the unsplit path, and the per-group
+    pieces concatenate straight into the [Q, S, P, C] output (the caller's
+    own layout) with no flat-[K] reassembly. Non-gsplit levels gather from
+    their full table with group-sliced indices — same index count, same
+    rate, so only the chunked levels' gathers get faster and no glue term
+    scales with the level count.
+
+    Inputs are the flat-[K] barriered geometry of :func:`_yfold_forward`;
+    ``idx_of[gi]`` is the (contiguous, in-order) slice range of group gi.
+    Streaming-inference only (no VJP path; rings exist only in streaming).
+    """
+    n = packed.num_views
+    c = packed.channels
+    gg = packed.num_groups
+    num_levels = len(packed.level_shapes)
+
+    def gsl(a, lo, hi):
+        # lane-dim slice of the [Q, S*P] view of the flat [K] geometry —
+        # a [Q, S, P] reshape instead tiles P=4 into lanes and
+        # relayout-copies every operand (+2 ms/sample, profiled 2026-08-19)
+        return jax.lax.slice_in_dim(a.reshape(q, b * p), lo * p, hi * p,
+                                    axis=1).reshape(-1)
+
+    pieces = []
+    for gi in range(gg):
+        lo, hi = idx_of[gi][0], idx_of[gi][-1] + 1
+        xg = gsl(x, lo, hi)
+        yg = gsl(y, lo, hi)
+        vg = gsl(view, lo, hi)
+        brg = gsl(batch_row, lo, hi)
+        lwg = jax.lax.slice_in_dim(
+            lw_levels.reshape(num_levels, q, b * p), lo * p, hi * p,
+            axis=2).reshape(num_levels, -1)
+        kg = q * (hi - lo) * p
+        og = jnp.zeros((kg, c), acc_dtype)
+        for lvl in range(num_levels):
+            h, w = packed.level_shapes[lvl]
+            sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
+                xg * (w - 1), yg * (h - 1), h, w)
+            lw = lwg[lvl]
+            if packed.yfold[lvl]:
+                if packed.gsplit[lvl]:
+                    # chunk tables are per-group: rows index by physical
+                    # SLOT alone (the packed slice space is (b, t, g) with
+                    # g minor, so slot = physical_index // G)
+                    table = packed.tables[lvl][gi]
+                    row = (brg // gg * n + vg) * h + ry
+                else:
+                    table = packed.tables[lvl]
+                    row = packed.row_index(brg, vg, ry, h)
+                starts = jnp.stack([row, sx], axis=-1)
+                gch = jax.lax.gather(table, starts, window_dnums,
+                                     slice_sizes=(1, 2, 2 * c),
+                                     mode="promise_in_bounds")
+                lvl_out = _fold_window_taps(gch[:, 0], wxa, wxb,
+                                            (wya * lw)[:, None],
+                                            (wyb * lw)[:, None], c)
+            else:
+                # pair (memory) mode level: two (1, 2, C) x-window gathers,
+                # one per y tap (group-split levels are always yfold)
+                assert not packed.gsplit[lvl], \
+                    "group-split levels store yfold tables"
+                lvl_out = jnp.zeros((kg, c), jnp.float32)
+                for row_y, wy in ((ry, wya),
+                                  (jnp.minimum(ry + 1, h - 1), wyb)):
+                    row = packed.row_index(brg, vg, row_y, h)
+                    starts = jnp.stack([row, sx], axis=-1)
+                    gch = jax.lax.gather(packed.tables[lvl], starts,
+                                         window_dnums,
+                                         slice_sizes=(1, 2, c),
+                                         mode="promise_in_bounds")
+                    g2 = gch[:, 0]
+                    if g2.dtype == jnp.float8_e4m3fn:
+                        g2 = g2.astype(jnp.bfloat16)
+                    wyl = wy * lw
+                    w0 = (wxa * wyl)[:, None].astype(g2.dtype)
+                    w1 = (wxb * wyl)[:, None].astype(g2.dtype)
+                    lvl_out = lvl_out + ((g2[:, 0] * w0).astype(jnp.float32)
+                                         + (g2[:, 1] * w1).astype(jnp.float32))
+            og = og + lvl_out.astype(acc_dtype)
+            # per-level accumulator barrier: same VMEM-pressure rationale
+            # as the unsplit branch (A/B'd 2026-08-17)
+            og = jax.lax.optimization_barrier(og)
+        pieces.append(og.reshape(q, hi - lo, p, c))
+    return jnp.concatenate(pieces, axis=1)   # [Q, S, P, C]
+
+
 def _yfold_forward(qmajor: bool,
                    mlvl_feats: PackedFeatures,
                    sampling_locations: jnp.ndarray,
@@ -785,6 +901,30 @@ def _yfold_forward(qmajor: bool,
     x, y, view, batch_row, lw_levels = jax.lax.optimization_barrier(
         (x, y, view, batch_row, lw_levels))
 
+    if any(packed.gsplit):
+        # GROUP-MAJOR fast path: when every group's slices form a
+        # contiguous in-order run (the decoder's (b, g, t) slice order with
+        # b=1 — the streaming case) the whole level loop restructures
+        # group-major, which is where the chunk gathers' MSA-prefetch win
+        # survives composition (see _gmajor_forward). Other slice layouts
+        # (e.g. ring_packed's native (t, g) order) fall through to the
+        # per-level gsplit branch below.
+        assert qmajor, "table_gsplit requires the streaming query-major layout"
+        assert packed.slice_groups is not None, \
+            "group-split tables need PackedFeatures.slice_groups"
+        assert not any(t is not None for t in (packed.mxu_tables or ())), \
+            "table_gsplit cannot mix with the hybrid MXU path"
+        sgp = packed.slice_groups
+        gg = packed.num_groups
+        idx_of = [tuple(s for s in range(b) if sgp[s] == gi)
+                  for gi in range(gg)]
+        gfast = (all(ix and ix == tuple(range(ix[0], ix[-1] + 1))
+                     for ix in idx_of)
+                 and sum((list(ix) for ix in idx_of), []) == list(range(b)))
+        if gfast:
+            return _gmajor_forward(packed, x, y, view, batch_row, lw_levels,
+                                   q, b, p, idx_of, window_dnums, acc_dtype)
+
     out = jnp.zeros((k, c), acc_dtype)
     for lvl in range(num_levels):
         h, w = packed.level_shapes[lvl]
@@ -833,16 +973,7 @@ def _yfold_forward(qmajor: bool,
         lw = lw_levels[lvl]
 
         def _fold_window(g2, fxa, fxb, fya, fyb):
-            # single expression, 4 lane/window slices of g2, one output —
-            # see the layout rationale on the unsplit branch below
-            if g2.dtype == jnp.float8_e4m3fn:
-                g2 = g2.astype(jnp.bfloat16)
-            xa = fxa[:, None].astype(g2.dtype)
-            xb = fxb[:, None].astype(g2.dtype)
-            return (((g2[:, 0, :c] * xa).astype(jnp.float32)
-                     + (g2[:, 1, :c] * xb).astype(jnp.float32)) * fya
-                    + ((g2[:, 0, c:] * xa).astype(jnp.float32)
-                       + (g2[:, 1, c:] * xb).astype(jnp.float32)) * fyb)
+            return _fold_window_taps(g2, fxa, fxb, fya, fyb, c)
 
         if packed.gsplit[lvl]:
             # GROUP-split ring level: one gather per per-group chunk buffer.

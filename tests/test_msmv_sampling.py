@@ -457,6 +457,64 @@ def test_ring_group_split_matches_unsplit(rng):
                                           err_msg=f"gsplit={gs} {slots}")
 
 
+def test_group_split_gmajor_mixed_yfold(rng):
+    """GROUP-MAJOR fast path (the decoder's (b, g, t) slice order) with a
+    MIXED yfold spec: level 0 in pair (memory) mode, level 1 y-fold and
+    group-split — the vov99/eva02 big-config shape. ring_packed's (t, g)
+    order takes the per-level gsplit branch; this test applies the same
+    logical repack sampling_4d does (projection.py:236-251) so the whole
+    level loop runs through _gmajor_forward, and checks exactness against
+    the unsplit ring for a rotated AND a duplicate slot window."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        PackedFeatures, msmv_sampling, pack_mlvl_feats_grouped, ring_init,
+        ring_packed, ring_update)
+    t, n, g, cg = 4, 6, 2, 8
+    c = g * cg
+    q, p = 5, 3
+    shapes = [(8, 12), (4, 6)]
+    yfold = (False, True)
+    feats = [rng.randn(1, t * n, h, w, c).astype(np.float32)
+             for h, w in shapes]
+    loc = rng.rand(q, t * g, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(q, t * g, p, len(shapes)).astype(np.float32)
+    jf = [jnp.asarray(f) for f in feats]
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+
+    fp0 = pack_mlvl_feats_grouped([f[:, :n] for f in jf], n, g, yfold=yfold)
+    meta = jax.tree_util.tree_map(lambda _: None, fp0)
+
+    rings = {}
+    for gs in (False, (False, True)):
+        ring = ring_init(fp0, t, jnp.float32, 1, gs)
+        for i, slot in enumerate((2, 0, 3, 1)):
+            fp = pack_mlvl_feats_grouped(
+                [f[:, i * n:(i + 1) * n] for f in jf], n, g, yfold=yfold)
+            ring = ring_update(ring, fp, jnp.int32(slot))
+        rings[gs] = ring
+
+    def run(ring, slots):
+        rp = ring_packed(ring, jnp.asarray(slots, jnp.int32), t, meta)
+        # sampling_4d's logical repack: slice axis (b, g, t) with b=1 —
+        # group runs contiguous and in order, the gmajor fast layout
+        logical = (jnp.arange(t, dtype=jnp.int32)[None, :] * g
+                   + jnp.arange(g, dtype=jnp.int32)[:, None]).reshape(-1)
+        logical = jnp.take(rp.slice_map, logical)
+        packed = PackedFeatures(
+            rp.tables, t * g, rp.num_views, rp.level_shapes, rp.channels,
+            mxu_tables=rp.mxu_tables, num_groups=g, slice_map=logical,
+            yfold=rp.yfold,
+            slice_groups=tuple((s // t) % g for s in range(t * g)))
+        return np.asarray(jax.jit(
+            lambda pk: msmv_sampling(pk, jl, jw, qmajor=True))(packed))
+
+    for slots in ((2, 0, 3, 1), (3, 3, 1, 1)):
+        want = run(rings[False], slots)
+        assert np.isfinite(want).all()
+        got = run(rings[(False, True)], slots)
+        np.testing.assert_array_equal(got, want, err_msg=str(slots))
+
+
 def test_ring_copy_slot_group_split(rng):
     """ring_copy_slot on a group-split ring: copy src->dst must equal a
     ring_update of dst with that frame's packed features."""

@@ -32,10 +32,11 @@ import numpy as np
 
 # The big 1600x640 configs keep their L0 ring in bf16 PAIR mode by default
 # (memory: a 6 GB bf16 y-fold L0 doesn't fit); the fp8 y-fold L0 variant
-# costs the SAME ring bytes but issues HALF the L0 gather indices — measured
-# 2026-08-18 on v5e: vov99 298.4 -> 281.8 ms, eva02 1060 -> 1019 ms. Emitted
-# as separate, explicitly-named metrics because fp8 storage quantizes L0
-# features (accuracy effect unmeasurable without real data; see ROADMAP).
+# costs the SAME ring bytes but issues HALF the L0 gather indices, and it
+# STACKS with the configs' default gsplit-L3 rings — measured 2026-08-19 on
+# v5e: vov99 267.9 -> 246.6 ms, eva02 1016.9 -> 969.2 ms. Emitted as
+# separate, explicitly-named metrics because fp8 storage quantizes L0
+# features (bounded by the tools/fp8_drift.py proxy; see ROADMAP).
 _FP8_L0 = {"model.pts_bbox_head.table_yfold": [True] * 5,
            "model.pts_bbox_head.table_fp8": [True, False, False, False, False]}
 

@@ -12,7 +12,16 @@ num_frames = 8
 model = dict(
     img_backbone=dict(depth=101),
     img_neck=dict(num_outs=5),
-    pts_bbox_head=dict(num_levels=5),
+    # 5 feature levels: the base's 4-entry table_gsplit must be overridden.
+    # Ring sizes here are L0 2.2 GB / L1 557 / L2 139 / L3 35 / L4 8.7 MB;
+    # group-splitting L2 (139 -> 4x35 MB chunks) is the one in MSA's VMEM
+    # prefetch window. Measured v5e 2026-08-19: 85.1 ms/sample streaming
+    # (11.75 FPS) with gsplit L2; L1+L2 measured the same (557 MB / 4 =
+    # 139 MB chunks add nothing, as on r50's L0).
+    pts_bbox_head=dict(
+        num_levels=5,
+        table_gsplit=(False, False, True, False, False),
+    ),
 )
 
 ida_aug_conf = {

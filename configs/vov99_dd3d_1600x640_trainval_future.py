@@ -46,6 +46,12 @@ model = dict(
         # at 1600x640 T=15 — does not fit 16 GB HBM); the small levels
         # keep the fast one-gather y-fold mode
         table_yfold=(False, True, True, True, True),
+        # group-split L3: its 93 MB y-fold ring becomes 4x23 MB per-group
+        # chunks inside MSA's VMEM prefetch window (group-major level
+        # loop). Measured v5e 2026-08-19: 298.4 -> 267.9 ms/sample
+        # streaming (+11% FPS); adding L2 (371 -> 93 MB chunks) changed
+        # nothing. 5 entries — overrides the r50 base's 4-entry spec.
+        table_gsplit=(False, False, False, True, False),
     ),
 )
 

@@ -133,14 +133,23 @@ class ResNet(nn.Module):
     def __call__(self, x):
         blocks = _STAGE_BLOCKS[self.depth][: self.num_stages]
 
+        # NOTE: a space-to-depth stem (MLPerf's conv7x7/s2 -> conv4x4/s1
+        # with the 2x2 pixel phase folded into channels) was implemented,
+        # verified exact, and measured SLOWER on v5e (2026-08-19): the
+        # conv itself speeds up but the s2d input rearrangement costs more
+        # than the conv win — reshape+6D-transpose +0.55 ms/sample of
+        # relayout copies (48.34-baseline runs: 43.19 -> 43.48), strided
+        # slice+concat form 43.19 -> 47.73. Do not retry without a way to
+        # produce s2d layout directly from the on-device normalize.
         x = _folded_conv_bn(self, "conv1", "bn1", x, 64, (7, 7),
                             strides=(2, 2), padding=((3, 3), (3, 3)),
                             dtype=self.dtype)
         x = nn.relu(x)
-        # torch maxpool 3x3 stride 2 pad 1
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        # torch maxpool 3x3 stride 2 pad 1: reduce_window's native padding
+        # (init value -inf) — an explicit jnp.pad costs a separate 26 MB
+        # copy of the stem activation (0.46 ms/sample profiled on v5e)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         outs = []
         planes = 64

@@ -179,7 +179,11 @@ def test_streaming_chunk_split_duplicate_frames(synth_ann):
         jnp.asarray(b0["img"]), jnp.asarray(b0["lidar2img"]),
         jnp.asarray(b0["time_diff"]), train=False)
 
-    cfg.merge_from_dict({"model.pts_bbox_head.table_split": 2})
+    # table_split and table_gsplit are per-level mutually exclusive; the
+    # smoke config inherits the flagship's gsplit-L1 default, so force it
+    # off — this test exercises the slot-partitioned (split) variant.
+    cfg.merge_from_dict({"model.pts_bbox_head.table_split": 2,
+                         "model.pts_bbox_head.table_gsplit": False})
     model_s, aux_s = build_model(cfg)
     plain = StreamingDetector(model, variables, num_frames=nf, coder=coder)
     split = StreamingDetector(model_s, variables, num_frames=nf,

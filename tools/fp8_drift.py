@@ -73,27 +73,35 @@ def main():
     cfg8.merge_from_dict(fp8_l0)
     model8, aux8 = build_model(cfg8)
 
-    det = StreamingDetector(model, variables, num_frames=num_frames,
-                            coder=coder)
-    det8 = StreamingDetector(model8, variables, num_frames=num_frames,
-                             coder=aux8.build_coder())
+    # Stream the SAME samples through each ring variant SEQUENTIALLY — two
+    # live detectors means two full ring caches (~6 GB at 1600x640 T=15)
+    # and OOMs the 16 GB chip (RESOURCE_EXHAUSTED, observed 2026-08-19).
+    # The frames are regenerated identically from a forked RNG per pass.
+    def stream(m, cd):
+        det = StreamingDetector(m, variables, num_frames=num_frames,
+                                coder=cd)
+        srng = np.random.RandomState(args.seed + 1)
+        outs = []
+        for i in range(args.samples):
+            # fresh pixels per sample. Window = T frames, newest first;
+            # history identified by key (its pixels are cached, so only
+            # position 0 is ever uploaded), with the keyframe repeated for
+            # missing history like the loader does.
+            frame = np.asarray(
+                srng.uniform(0, 255, (1, 6, fh, fw, 3)).astype(np.float32))
+            window = np.tile(frame, (1, num_frames, 1, 1, 1))
+            names = [f"frame_{max(i - k, 0)}_{v}" for k in range(num_frames)
+                     for v in range(6)]
+            outs.append(jax.device_get(det.infer(
+                window, np.asarray(l2i), np.asarray(td), names)))
+        return outs
+
+    outs_bf16 = stream(model, coder)
+    outs_fp8 = stream(model8, aux8.build_coder())
 
     drift = {"d_center_m": [], "d_size_m": [], "d_yaw_rad": [],
              "d_score": [], "d_vel_ms": []}
-    for i in range(args.samples):
-        # fresh pixels per sample; SAME stream through both detectors.
-        # Window = T frames, newest first; history identified by key (its
-        # pixels are cached, so only position 0 is ever uploaded), with the
-        # keyframe repeated for missing history like the loader does.
-        frame = np.asarray(
-            rng.uniform(0, 255, (1, 6, fh, fw, 3)).astype(np.float32))
-        window = np.tile(frame, (1, num_frames, 1, 1, 1))
-        names = [f"frame_{max(i - k, 0)}_{v}" for k in range(num_frames)
-                 for v in range(6)]
-        a = jax.device_get(det.infer(window, np.asarray(l2i),
-                                     np.asarray(td), names))
-        b = jax.device_get(det8.infer(window, np.asarray(l2i),
-                                      np.asarray(td), names))
+    for a, b in zip(outs_bf16, outs_fp8):
         ba, bb = np.asarray(a["bboxes"]), np.asarray(b["bboxes"])
         drift["d_center_m"].append(np.abs(ba[..., :3] - bb[..., :3]))
         drift["d_size_m"].append(np.abs(ba[..., 3:6] - bb[..., 3:6]))
@@ -109,7 +117,9 @@ def main():
     # whose query refinement is chaotic w.r.t. feature noise — see
     # tests/test_tools.py::test_streaming_fp8_ring — so it OVERSTATES the
     # drift a trained model would see; this number does not).
-    fp = det._pack_frame(variables, frame0)
+    fp = jax.jit(lambda v, img: model.apply(
+        v, img, train=False, method=model.forward_frame_packed))(
+            variables, frame0)
     l0 = np.asarray(fp.tables[0], np.float32).reshape(-1)
     lim = float(jnp.finfo(jnp.float8_e4m3fn).max)
     q = np.asarray(np.clip(l0, -lim, lim).astype(jnp.float8_e4m3fn),

@@ -12,10 +12,19 @@ ms/sample at r50-900q, of which the matmuls are ~0.8 ms). This kernel runs
 the chain VMEM-resident per query block — one HBM read of x/m/s, one write
 of the output, zero intermediate traffic.
 
-EXPERIMENTAL — NOT wired into the decoder: see the STATUS note in
-_mixing_kernel (the only formulation the Mosaic compiler accepts today is
-latency-bound at 3.8 ms; batched formulations are rejected or crash the
-compiler). Kept with its measured diagnosis, like ops/msmv_pallas.py.
+EXPERIMENTAL — NOT wired into the decoder. CLOSED 2026-08-19 (v5e, real
+chip): the long-standing "Mosaic compiler crash" on the batched kernel was
+actually a scoped-VMEM stack OOM surfaced as an opaque remote-compile
+HTTP 500 — the fp32 intermediates of a [128, ...]-block double-buffered
+pipeline need 27.8 MB of scoped VMEM vs the 16 MB default. Raising the
+per-kernel limit (pltpu.CompilerParams(vmem_limit_bytes=...)) or shrinking
+the block makes every variant compile and run EXACT — and every variant
+LOSES to XLA's einsum chain at the r50 shapes (bq=900, g=4, P=32, C=64,
+O=128): blk=32 1.754 ms, blk=64 1.829 ms, blk=128 1.947 ms vs XLA 1.191 ms
+per call. The batched dot_general (one batch dim) maps to the MXU but its
+small per-item dots (32x64 @ 64x64) leave the systolic array mostly idle,
+and XLA's own chain already fuses the LN/relu epilogues. Kept with its
+measured diagnosis, like ops/msmv_pallas.py.
 """
 
 from __future__ import annotations
@@ -111,7 +120,12 @@ def _mixing_kernel_batched(x_ref, m_ref, s_ref, o_ref, *, eps):
     layout.h:320 `Check failed: arr.size() >= layout_rank`, which points
     at the rank-1 [blk] values: a vector layout needs >= 2 dims. This r4
     variant reduces axis 2 then axis 1 WITH keepdims, so stats stay
-    [blk, 1] / [blk, 1, 1] and no rank-1 array ever exists."""
+    [blk, 1] / [blk, 1, 1] and no rank-1 array ever exists.
+
+    r4 RESULT: compiles and is exact once the block's scoped-VMEM budget
+    fits (blk<=32 under the 16 MB default; larger blocks need
+    CompilerParams(vmem_limit_bytes=...)), but is slower than XLA's
+    einsum chain at every block size — see the module docstring."""
     x = x_ref[...]
     m = m_ref[...]
     h1 = jax.lax.dot_general(

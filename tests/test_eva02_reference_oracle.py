@@ -24,8 +24,9 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 
 REF_DIR = "/root/reference/models/backbones/eva02"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
-                                reason="reference checkout not available")
+pytestmark = [pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                                 reason="reference checkout not available"),
+              pytest.mark.slow]  # full-pipeline tier: see conftest
 
 
 def _import_reference_vit():

@@ -4,6 +4,8 @@ val.py:132). Also exercises tail-batch padding."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline tier: see conftest
 import jax
 
 

@@ -17,6 +17,8 @@ handoff, decode) that per-module oracles cannot.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline tier: see conftest
 import jax
 import jax.numpy as jnp
 

@@ -26,6 +26,7 @@ def _run(cmd, timeout=900):
                           timeout=timeout, env=env, cwd=REPO)
 
 
+@pytest.mark.slow
 def test_viz_sample_points(synth_ann, tmp_path):
     out = _run([sys.executable, "tools/viz_sample_points.py",
                 "--config", "configs/smoke_synthetic.py",
@@ -41,6 +42,7 @@ def test_viz_sample_points(synth_ann, tmp_path):
             assert os.path.exists(tmp_path / "viz" / f"{name}_stage{stage}.npy"), name
 
 
+@pytest.mark.slow
 def test_viz_bbox(synth_ann, tmp_path):
     out = _run([sys.executable, "tools/viz_bbox_predictions.py",
                 "--config", "configs/smoke_synthetic.py",
@@ -52,6 +54,7 @@ def test_viz_bbox(synth_ann, tmp_path):
     assert os.path.exists(tmp_path / "viz" / "bev_0.png")
 
 
+@pytest.mark.slow
 def test_streaming_matches_offline(synth_ann):
     import jax
     import jax.numpy as jnp
@@ -98,6 +101,7 @@ def test_streaming_matches_offline(synth_ann):
     assert len(streaming.slot_of_key) == 2  # nothing re-extracted
 
 
+@pytest.mark.slow
 def test_streaming_fp8_ring(synth_ann):
     """fp8 streaming-ring mode (inference.ring_table_dtypes): a level marked
     in ``table_fp8`` stores its ring table as float8_e4m3fn (halving it under
@@ -151,6 +155,7 @@ def test_streaming_fp8_ring(synth_ann):
     np.testing.assert_allclose(out["scores"], ref["scores"], atol=0.1)
 
 
+@pytest.mark.slow
 def test_streaming_chunk_split_duplicate_frames(synth_ann):
     """ADVICE r3 high: chunk-split streaming over a full split INCLUDING the
     sequence start, where the loader pads missing history by repeating the
@@ -209,6 +214,7 @@ def test_streaming_chunk_split_duplicate_frames(synth_ann):
     assert saw_duplicate_window
 
 
+@pytest.mark.slow
 def test_streaming_group_split(synth_ann):
     """Group-split rings (table_gsplit) in the real streaming path: full
     synthetic split including the duplicate-window sequence start — which
@@ -261,6 +267,7 @@ def test_multi_ann_file(synth_ann):
     assert len(ds2) == 2 * len(ds1)
 
 
+@pytest.mark.slow
 def test_timing_cli(synth_ann):
     """timing.py CLI (in-jit ring loop + --shard-queries + --e2e) end to end
     on CPU: prints both JSON metric lines."""
@@ -278,6 +285,7 @@ def test_timing_cli(synth_ann):
             "streaming_fps_e2e_overlapped"} <= names, names
 
 
+@pytest.mark.slow
 def test_loader_bench_cli():
     import json
     out = _run([sys.executable, "tools/loader_bench.py",
@@ -290,6 +298,7 @@ def test_loader_bench_cli():
         assert r["jpegs_per_s"] > 0
 
 
+@pytest.mark.slow
 def test_val_online_load_online_full_split(synth_ann):
     """VERDICT r2 weak #6: drive the REAL val.py --online CLI over a full
     synthetic split with load_online=True (history frames arrive pixel-less,
@@ -306,6 +315,7 @@ def test_val_online_load_online_full_split(synth_ann):
     assert "evaluated 4 samples" in out.stderr + out.stdout
 
 
+@pytest.mark.slow
 def test_streaming_uncached_history_fails_loudly(synth_ann):
     """A mid-split restart (fresh cache) with pixel-less history must raise
     the explicit RuntimeError, never silently decode garbage
@@ -359,6 +369,7 @@ def test_parity_runner_dry_run(tmp_path):
     assert os.path.exists(tmp_path / "parity" / "parity.json")
 
 
+@pytest.mark.slow
 def test_parity_runner_synthetic(tmp_path):
     """tools/parity.py --synthetic: the one-command NDS parity staging
     (VERDICT r2 #9) must dry-run end to end — synthetic split, val CLI,
@@ -374,3 +385,158 @@ def test_parity_runner_synthetic(tmp_path):
                          if l.startswith("{")][-1])
     assert report["nds"] is not None
     assert os.path.exists(tmp_path / "parity" / "parity.json")
+
+
+# ---------------------------------------------------------------------------
+# trace_ops.py — the xplane wire-format parser the repo's perf evidence
+# depends on (VERDICT r4 weak #2). The fixtures hand-roll the protobuf wire
+# format against the public XSpace schema
+# (tensorflow/tsl/profiler/protobuf/xplane.proto), independently of the
+# parser under test.
+
+def _pb_varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(fn, wt, payload):
+    key = _pb_varint((fn << 3) | wt)
+    if wt == 0:
+        return key + _pb_varint(payload)
+    if wt == 2:
+        return key + _pb_varint(len(payload)) + payload
+    raise AssertionError(wt)
+
+
+def _pb_event(meta_id, dur_ps, offset_ps=0):
+    # XEvent: metadata_id=1, offset_ps=2, duration_ps=3
+    return (_pb_field(1, 0, meta_id) + _pb_field(2, 0, offset_ps)
+            + _pb_field(3, 0, dur_ps))
+
+
+def _pb_line(name, events, via_display_name=False):
+    # XLine: name=2, display_name=11, events=4
+    msg = _pb_field(11 if via_display_name else 2, 2, name.encode())
+    for ev in events:
+        msg += _pb_field(4, 2, ev)
+    return msg
+
+
+def _pb_plane(name, lines, meta):
+    # XPlane: name=2, lines=3, event_metadata=4 (map<int64, XEventMetadata>)
+    msg = _pb_field(2, 2, name.encode())
+    for ln in lines:
+        msg += _pb_field(3, 2, ln)
+    for mid, mname in meta.items():
+        entry = _pb_field(1, 0, mid) + _pb_field(
+            2, 2, _pb_field(1, 0, mid) + _pb_field(2, 2, mname.encode()))
+        msg += _pb_field(4, 2, entry)
+    return msg
+
+
+def _pb_xspace(planes):
+    return b"".join(_pb_field(1, 2, p) for p in planes)
+
+
+def _tpu_plane():
+    meta = {1: "fusion.1", 2: "gather.7", 3: "convolution.2", 4: "copy.3"}
+    ops = _pb_line("XLA Ops", [
+        _pb_event(1, 1000), _pb_event(2, 2000), _pb_event(2, 500),
+        _pb_event(3, 4000), _pb_event(4, 250)])
+    # step/module/derived lines re-aggregate the same picoseconds and must
+    # be excluded from the rollup
+    steps = _pb_line("Steps", [_pb_event(1, 7750)])
+    modules = _pb_line("XLA Modules", [_pb_event(1, 7750)])
+    source = _pb_line("Source", [_pb_event(2, 2500)], via_display_name=True)
+    return _pb_plane("/device:TPU:0", [ops, steps, modules, source], meta)
+
+
+def _host_plane():
+    meta = {9: "host_thing"}
+    return _pb_plane("/host:CPU", [_pb_line("t0", [_pb_event(9, 123)])], meta)
+
+
+@pytest.fixture()
+def xplane_dir(tmp_path):
+    run = tmp_path / "plugins" / "profile" / "2026_08_20_00_00_00"
+    run.mkdir(parents=True)
+    (run / "hosta.xplane.pb").write_bytes(
+        _pb_xspace([_tpu_plane(), _host_plane()]))
+    return tmp_path
+
+
+def _trace_ops():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import trace_ops
+    return trace_ops
+
+
+def test_trace_ops_rollup_totals(xplane_dir):
+    to = _trace_ops()
+    paths = to.find_xplanes(str(xplane_dir))
+    assert len(paths) == 1
+    tot, cnt, planes = to.rollup(paths)
+    # only the XLA Ops line counts: step/module/derived lines are skipped
+    assert sum(tot.values()) == 7750
+    assert tot["gather.7"] == 2500 and cnt["gather.7"] == 2
+    assert tot["fusion.1"] == 1000
+    assert tot["convolution.2"] == 4000
+    assert "/device:TPU:0" in planes and "/host:CPU" in planes
+
+
+def test_trace_ops_plane_filter(xplane_dir):
+    to = _trace_ops()
+    tot, cnt, _ = to.rollup(to.find_xplanes(str(xplane_dir)), plane="CPU")
+    assert dict(tot) == {"host_thing": 123}
+
+
+def test_trace_ops_group_families(xplane_dir):
+    to = _trace_ops()
+    tot, _, _ = to.rollup(to.find_xplanes(str(xplane_dir)), group=True)
+    assert tot["gather"] == 2500
+    assert tot["fusion"] == 1000
+    assert tot["conv"] == 4000
+    assert tot["copy/transpose"] == 250
+
+
+def test_trace_ops_merge_dots(xplane_dir):
+    to = _trace_ops()
+    tot, cnt, _ = to.rollup(to.find_xplanes(str(xplane_dir)),
+                            merge_dots=True)
+    assert tot["gather"] == 2500 and cnt["gather"] == 2
+    assert "gather.7" not in tot
+
+
+def test_trace_ops_multihost_and_gz(tmp_path):
+    """Every host's file in the newest run dir aggregates (ADVICE r4 #1);
+    gzipped xplanes load (ADVICE r4 #2); older run dirs are ignored."""
+    import gzip as _gzip
+    to = _trace_ops()
+    old = tmp_path / "plugins" / "profile" / "2026_08_19_00_00_00"
+    new = tmp_path / "plugins" / "profile" / "2026_08_20_11_22_33"
+    old.mkdir(parents=True)
+    new.mkdir(parents=True)
+    (old / "stale.xplane.pb").write_bytes(_pb_xspace([_tpu_plane()]))
+    (new / "hosta.xplane.pb").write_bytes(_pb_xspace([_tpu_plane()]))
+    (new / "hostb.xplane.pb.gz").write_bytes(
+        _gzip.compress(_pb_xspace([_tpu_plane()])))
+    paths = to.find_xplanes(str(tmp_path))
+    assert [os.path.basename(p) for p in paths] == [
+        "hosta.xplane.pb", "hostb.xplane.pb.gz"]
+    tot, _, _ = to.rollup(paths)
+    assert sum(tot.values()) == 2 * 7750
+
+
+def test_trace_ops_cli(xplane_dir):
+    out = _run([sys.executable, "tools/trace_ops.py", str(xplane_dir),
+                "--group"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "device total: 0.000 ms" in out.stdout  # 7750 ps rounds to 0.000
+    assert "gather" in out.stdout

@@ -28,6 +28,8 @@ Conventions mirrored from the reference head (verified against the source):
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-pipeline tier: see conftest
+
 import jax
 import jax.numpy as jnp
 

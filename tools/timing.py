@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# persistent XLA compilation cache (works through axon; see bench.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sparsebev_jax_cache")
+
 
 def parse_args():
     parser = argparse.ArgumentParser(description="SparseBEV-TPU FPS benchmark")

@@ -128,12 +128,22 @@ def load_xspace_planes(path):
             yield _parse_plane(v)
 
 
-def find_xplane(trace_dir):
+def find_xplanes(trace_dir):
+    """All xplane files of the NEWEST profile run under ``trace_dir``.
+
+    Multi-host traces write one ``<host>.xplane.pb`` per host into the same
+    run directory — aggregating over the whole directory (not just the
+    lexicographically-last file) keeps every host's device time in the
+    rollup. Both plain and gzipped files are picked up.
+    """
     hits = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.xplane.pb"), recursive=True))
+    hits += sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb.gz"), recursive=True))
     if not hits:
         raise SystemExit(f"no *.xplane.pb under {trace_dir}")
-    return hits[-1]
+    newest_run = os.path.dirname(sorted(hits)[-1])
+    return sorted(h for h in hits if os.path.dirname(h) == newest_run)
 
 
 _GROUP_RULES = [
@@ -156,6 +166,47 @@ def group_of(name):
     return base
 
 
+# Lines whose events re-aggregate the same picoseconds the per-op lines
+# already carry: raw-trace step/module rollups plus TensorBoard-derived
+# lines ("Source", "TensorFlow Name Scope") that post-processed traces add.
+_SKIP_LINES = frozenset((
+    "steps", "step", "xla modules", "module", "framework name scope",
+    "source", "tensorflow name scope", "tensorflow ops",
+))
+
+
+def rollup(paths, plane="TPU", group=False, merge_dots=False):
+    """Aggregate per-op durations over xplane files.
+
+    Returns ``(tot, cnt, plane_names)``: Counters of picoseconds and event
+    counts keyed by op name (or family with ``group``), and every plane
+    name seen (for diagnostics when the filter matches nothing).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    plane_names = []
+    for path in paths:
+        for name, lines, meta in load_xspace_planes(path):
+            plane_names.append(name)
+            if plane.lower() not in name.lower():
+                continue
+            for lname, events in lines:
+                # XLA op lines carry per-op events; step/module/derived
+                # lines would double-count the same picoseconds
+                if lname.lower() in _SKIP_LINES:
+                    continue
+                for mid, dur in events:
+                    op = meta.get(mid, f"#{mid}")
+                    if merge_dots:
+                        op = re.sub(r"\.\d+$", "", op)
+                    key = group_of(op) if group else op
+                    tot[key] += dur
+                    cnt[key] += 1
+    return tot, cnt, plane_names
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
@@ -169,34 +220,16 @@ def main():
                     help="strip trailing .N dedup suffixes before rollup")
     args = ap.parse_args()
 
-    path = find_xplane(args.trace_dir)
-    tot = collections.Counter()
-    cnt = collections.Counter()
-    plane_names = []
-    for name, lines, meta in load_xspace_planes(path):
-        plane_names.append(name)
-        if args.plane.lower() not in name.lower():
-            continue
-        for lname, events in lines:
-            # XLA op lines carry per-op events; step/module lines would
-            # double-count the same picoseconds
-            if lname.lower() in ("steps", "step", "xla modules",
-                                 "module", "framework name scope"):
-                continue
-            for mid, dur in events:
-                op = meta.get(mid, f"#{mid}")
-                if args.merge_dots:
-                    op = re.sub(r"\.\d+$", "", op)
-                key = group_of(op) if args.group else op
-                tot[key] += dur
-                cnt[key] += 1
+    paths = find_xplanes(args.trace_dir)
+    tot, cnt, plane_names = rollup(paths, args.plane, args.group,
+                                   args.merge_dots)
     if not tot:
         print(f"no events on a plane matching {args.plane!r}; planes seen:")
         for p in plane_names:
             print(f"  {p}")
         return 1
     total = sum(tot.values())
-    print(f"# {path}")
+    print("\n".join(f"# {p}" for p in paths))
     print(f"# device total: {total / 1e9:.3f} ms across {sum(cnt.values())} "
           f"events")
     print(f"{'ms':>10} {'%':>6} {'count':>7}  op")

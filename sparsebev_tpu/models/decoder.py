@@ -433,6 +433,12 @@ class SparseBEVTransformer(nn.Module):
     # (1x memory, 2x gather indices) — the 1600x640 T=15 configs need the
     # memory mode to fit 16 GB HBM (see ops.msmv_sampling.PackedFeatures)
     table_yfold: Any = True
+    # group-split the train/offline packed tables (bool or per-level; see
+    # ops.msmv_sampling.pack_mlvl_feats_grouped): a marked level packs as
+    # num_groups separate per-group chunk buffers so both the forward's
+    # gathers and the custom VJP's scatter-adds run against MSA-prefetchable
+    # chunks. The streaming ring has its own knob (head.table_gsplit).
+    table_gsplit: Any = False
 
     @nn.compact
     def __call__(self, query_bbox, query_feat, mlvl_feats, attn_mask,
@@ -458,7 +464,8 @@ class SparseBEVTransformer(nn.Module):
             grouped = mlvl_feats
         else:
             grouped = pack_mlvl_feats_grouped(mlvl_feats, n, g,
-                                              yfold=self.table_yfold)
+                                              yfold=self.table_yfold,
+                                              gsplit=self.table_gsplit)
 
         layer_cls = SparseBEVTransformerDecoderLayer
         if self.with_cp and not deterministic:

@@ -83,6 +83,13 @@ class SparseBEVHead(nn.Module):
     # switch / no slot-dedupe. Preferred over table_split when
     # ring_bytes / num_groups lands in MSA's 35-70 MB prefetch window
     table_gsplit: Any = False
+    # TRAIN/OFFLINE pack group-split (bool or per-level; consumed by the
+    # decoder's pack_mlvl_feats_grouped, independent of the streaming-ring
+    # table_gsplit): a marked level's packed table is num_groups separate
+    # per-group chunk buffers, so the training forward's gathers AND the
+    # custom VJP's single-row scatter-adds hit MSA-prefetchable chunks
+    # (r50 L1 at T=8: 139 MB -> 4 x 35 MB). Differentiable end-to-end.
+    table_gsplit_pack: Any = False
 
     def setup(self):
         c = self.in_channels
@@ -100,6 +107,7 @@ class SparseBEVHead(nn.Module):
             pc_range=self.pc_range, num_groups=self.num_groups,
             mixer_out_points=self.mixer_out_points, num_views=self.num_views,
             dtype=self.compute_dtype, table_yfold=self.table_yfold,
+            table_gsplit=self.table_gsplit_pack,
             name="transformer")
 
     def __call__(self, mlvl_feats, lidar2img, time_diff, image_h, image_w,

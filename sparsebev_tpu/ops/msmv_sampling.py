@@ -186,7 +186,8 @@ def pack_mlvl_feats(mlvl_feats: Sequence[jnp.ndarray]) -> PackedFeatures:
 def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
                             num_views: int,
                             num_groups: int,
-                            yfold: bool = True) -> PackedFeatures:
+                            yfold: bool = True,
+                            gsplit: bool = False) -> PackedFeatures:
     """Pack raw per-frame pyramids [B, T*N, H, W, C] directly into grouped
     y-fold tables, replacing the decoder's global [B,T,G,N,H,W,Cg] feature
     transpose (a full extra copy of the pyramid — ~4 ms at r50 scale on
@@ -196,7 +197,17 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
     ``yfold=False``: memory mode — plain [.., W+1, Cg] rows (1x feature
     memory instead of 2x) at the cost of a second y-row gather per point.
     A per-level sequence mixes modes (pair the huge level 0, y-fold the
-    small levels)."""
+    small levels).
+
+    ``gsplit`` (bool or per-level): a marked level packs as ``num_groups``
+    SEPARATE per-group chunk buffers (:class:`GroupSplitRing`, row order
+    (b, t, n, h)) instead of one (b, t, n, h, g)-ordered table — the
+    TRAIN/OFFLINE twin of the streaming ring's ``table_gsplit``: each chunk
+    (r50 L1 at T=8: 139/4 = 35 MB) lands under XLA MSA's VMEM prefetch
+    threshold, so both the forward's chunk gathers and the custom VJP's
+    per-chunk single-row scatter-adds run against a prefetchable buffer.
+    The partition is the STATIC group axis; differentiable end-to-end
+    (each group's table build reads its own channel slice)."""
     n, g = num_views, num_groups
     b, tn = mlvl_feats[0].shape[0], mlvl_feats[0].shape[1]
     t = tn // n
@@ -206,11 +217,27 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
         yfold = (yfold,) * len(mlvl_feats)
     yfold = tuple(yfold)
     assert len(yfold) == len(mlvl_feats)
+    if isinstance(gsplit, bool):
+        gsplit = (gsplit,) * len(mlvl_feats)
+    gsplit = tuple(bool(s) for s in gsplit)
+    assert len(gsplit) == len(mlvl_feats)
     from .msmv_pack_pallas import pack_level
     tables, shapes = [], []
-    for feat, yf in zip(mlvl_feats, yfold):
+    for feat, yf, gs in zip(mlvl_feats, yfold, gsplit):
         h, w = feat.shape[2], feat.shape[3]
-        if yf:
+        if gs:
+            if not yf:
+                raise ValueError("table_gsplit requires a yfold level")
+            # one pack_level call per group on its channel slice (a lane
+            # slice that fuses into the kernel's input read): total bytes
+            # moved equal the unsplit pack — one pyramid read, one write
+            bufs = []
+            for gi in range(g):
+                fs = feat[..., gi * cg:(gi + 1) * cg]
+                t2 = pack_level(fs.reshape(b * t * n, h, w, cg), 1)
+                bufs.append(t2.reshape(b * t * n * h, w + 1, 2 * cg))
+            tables.append(GroupSplitRing(bufs))
+        elif yf:
             t2 = pack_level(feat.reshape(b * t * n, h, w, c), g)
             tables.append(t2.reshape(b * t * n * h * g, w + 1, 2 * cg))
         else:
@@ -220,7 +247,28 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
             tables.append(f.reshape(b * t * n * h * g, w + 1, cg))
         shapes.append((h, w))
     return PackedFeatures(tuple(tables), b * t * g, n, tuple(shapes), cg,
-                          num_groups=g, yfold=yfold)
+                          num_groups=g, yfold=yfold,
+                          # native slice order is (b, t, g) — g minor (see
+                          # row_index). Direct callers get length-1 runs
+                          # (correct, more gathers); sampling_4d re-packs
+                          # with its (b, g, t) order and T-length runs.
+                          slice_groups=(tuple(s % g for s in range(b * t * g))
+                                        if any(gsplit) else None))
+
+
+def _group_runs(slice_groups):
+    """Segment the slice axis into maximal same-group runs.
+
+    Returns ``(group, lo, hi)`` triples covering [0, len) in order — the
+    static iteration structure of :func:`_gmajor_forward` (and the
+    run-major half-row VJP primal)."""
+    runs = []
+    for s, gi in enumerate(slice_groups):
+        if runs and runs[-1][0] == gi:
+            runs[-1][2] = s + 1
+        else:
+            runs.append([gi, s, s + 1])
+    return [tuple(r) for r in runs]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -619,6 +667,80 @@ def _flat_point_geometry(packed: PackedFeatures, sampling_locations,
     return x, y, view, batch_row, k
 
 
+def _halfrow_runmajor(packed: PackedFeatures, x, y, view, batch_row,
+                      lw_levels, q, b, p, runs):
+    """Run-major half-row walk for group-split tables (the VJP primal).
+
+    Structure mirrors :func:`_gmajor_forward` — geometry lane-sliced per
+    same-group run, per-run accumulators, pieces concatenated straight into
+    [Q, S, P, C] — but reads half-row taps (two (1, 1, 2C) single-row takes
+    per point) instead of the (1, 2, 2C) window gather. Under ``jax.vjp``
+    the transposed graph then scatter-adds each run's cotangents into ITS
+    per-group chunk buffer: single-row adds (the fast scatter shape, ~16x
+    vs multi-column slice scatters on v5e) against a <=70 MB chunk that XLA
+    MSA can prefetch-pipeline — the training twin of the forward's
+    group-split gather win. Non-gsplit levels take from their full table
+    with run-sliced indices (same index count as the flat-[K] walk).
+    Reference backward contract: msmv_sampling_backward.cu:108-224.
+    """
+    n = packed.num_views
+    c = packed.channels
+    gg = packed.num_groups
+    num_levels = len(packed.level_shapes)
+
+    def gsl(a, lo, hi):
+        # lane-dim slice of the [Q, S*P] view (see _gmajor_forward.gsl)
+        return jax.lax.slice_in_dim(a.reshape(q, b * p), lo * p, hi * p,
+                                    axis=1).reshape(-1)
+
+    pieces = []
+    for gi, lo, hi in runs:
+        xg = gsl(x, lo, hi)
+        yg = gsl(y, lo, hi)
+        vg = gsl(view, lo, hi)
+        brg = gsl(batch_row, lo, hi)
+        lwg = jax.lax.slice_in_dim(
+            lw_levels.reshape(num_levels, q, b * p), lo * p, hi * p,
+            axis=2).reshape(num_levels, -1)
+        kg = q * (hi - lo) * p
+        og = jnp.zeros((kg, c), jnp.float32)
+        for lvl in range(num_levels):
+            h, w = packed.level_shapes[lvl]
+            row_ch = (2 if packed.yfold[lvl] else 1) * c
+            if packed.gsplit[lvl]:
+                # chunk rows index by (bt, n, h) alone — the group is the
+                # buffer choice (see _gmajor_forward's row computation)
+                flat = packed.tables[lvl][gi].reshape(-1, row_ch)
+                base = (brg // gg * n + vg) * h
+            else:
+                flat = packed.tables[lvl].reshape(-1, row_ch)
+                base = None
+            sx, ry, (wxa, wxb), (wya, wyb) = _separable_slot_weights(
+                xg * (w - 1), yg * (h - 1), h, w)
+            lw = lwg[lvl]
+            if packed.yfold[lvl]:
+                row = ((base + ry if base is not None
+                        else packed.row_index(brg, vg, ry, h)) * (w + 1))
+                wy = jnp.stack([wya, wyb], -1).astype(jnp.float32)  # [Kg, 2]
+                for slot, wx in ((0, wxa), (1, wxb)):
+                    gch = jnp.take(flat, row + sx + slot,
+                                   axis=0).astype(jnp.float32)
+                    gch = gch.reshape(kg, 2, c)
+                    og = og + (gch * wy[..., None]).sum(1) * (wx * lw)[:, None]
+            else:
+                assert not packed.gsplit[lvl], \
+                    "group-split levels store yfold tables"
+                for row_y, wyv in ((ry, wya),
+                                   (jnp.minimum(ry + 1, h - 1), wyb)):
+                    row = packed.row_index(brg, vg, row_y, h) * (w + 1)
+                    for slot, wx in ((0, wxa), (1, wxb)):
+                        gch = jnp.take(flat, row + sx + slot,
+                                       axis=0).astype(jnp.float32)
+                        og = og + gch * (wx * wyv * lw)[:, None]
+        pieces.append(og.reshape(q, hi - lo, p, c))
+    return jnp.concatenate(pieces, axis=1)   # [Q, S, P, C]
+
+
 def _msmv_halfrow(qmajor: bool,
                   packed: PackedFeatures,
                   sampling_locations: jnp.ndarray,
@@ -633,9 +755,9 @@ def _msmv_halfrow(qmajor: bool,
     so the custom VJP below routes gradients here.
     """
     num_levels = len(packed.level_shapes)
-    assert all(s == 1 for s in packed.split) and not any(packed.gsplit), \
-        "table_split/table_gsplit rings are streaming-inference-only " \
-        "(no VJP path)"
+    assert all(s == 1 for s in packed.split), \
+        "table_split rings are streaming-inference-only (no VJP path: the " \
+        "slot partition is runtime data)"
     d0, d1, p, _ = sampling_locations.shape
     n = packed.num_views
     c = packed.channels
@@ -647,6 +769,18 @@ def _msmv_halfrow(qmajor: bool,
         scale_weights.reshape(k, num_levels)).astype(jnp.float32)  # [L, K]
     x, y, view, batch_row, lw_levels = jax.lax.optimization_barrier(
         (x, y, view, batch_row, lw_levels))
+
+    if any(packed.gsplit):
+        # run-major half-row primal (see _halfrow_runmajor): its transposed
+        # graph scatter-adds into the per-group CHUNK buffers — the training
+        # twin of the forward's group-split gather win
+        assert qmajor, "table_gsplit requires the query-major layout"
+        assert packed.slice_groups is not None, \
+            "group-split tables need PackedFeatures.slice_groups"
+        q, b = d0, d1
+        out = _halfrow_runmajor(packed, x, y, view, batch_row, lw_levels,
+                                q, b, p, _group_runs(packed.slice_groups))
+        return out.astype(table_acc_dtype(packed))
 
     out = jnp.zeros((k, c), jnp.float32)
     for lvl in range(num_levels):
@@ -744,27 +878,30 @@ def _fold_window_taps(g2, fxa, fxb, fya, fyb, c):
 
 
 def _gmajor_forward(packed: PackedFeatures, x, y, view, batch_row,
-                    lw_levels, q, b, p, idx_of, window_dnums, acc_dtype):
-    """GROUP-MAJOR streaming level loop for group-split rings.
+                    lw_levels, q, b, p, runs, window_dnums, acc_dtype):
+    """GROUP-MAJOR level loop for group-split tables (streaming AND packed).
 
-    The per-level gsplit branch in :func:`_yfold_forward` was measured a
-    WASH on v5e (2026-08-19 trace diff, docs/ROADMAP.md): its chunk gathers
-    hit the fast MSA-prefetch rate (~6.4-7.7 ns/idx vs 11.5 unsplit) but
-    per layer the glue gave the ~0.5 ms win back — an un-fused level
-    accumulate, a [Q,S*P*C] -> [K,C] chunk reassembly, and per-level
-    geometry-operand slices. This loop restructures the WHOLE level walk
-    group-major instead: geometry is lane-sliced once per group (not per
-    level), each group accumulates its own [Kg, C] so the level adds fuse
-    into the fold fusions exactly like the unsplit path, and the per-group
-    pieces concatenate straight into the [Q, S, P, C] output (the caller's
-    own layout) with no flat-[K] reassembly. Non-gsplit levels gather from
-    their full table with group-sliced indices — same index count, same
+    The per-level gsplit branch this replaced was measured a WASH on v5e
+    (2026-08-19 trace diff, docs/ROADMAP.md): its chunk gathers hit the
+    fast MSA-prefetch rate (~6.4-7.7 ns/idx vs 11.5 unsplit) but per layer
+    the glue gave the ~0.5 ms win back — an un-fused level accumulate, a
+    [Q,S*P*C] -> [K,C] chunk reassembly, and per-level geometry-operand
+    slices. This loop restructures the WHOLE level walk group-major
+    instead: geometry is lane-sliced once per run (not per level), each run
+    accumulates its own [Kg, C] so the level adds fuse into the fold
+    fusions exactly like the unsplit path, and the per-run pieces
+    concatenate straight into the [Q, S, P, C] output (the caller's own
+    layout) with no flat-[K] reassembly. Non-gsplit levels gather from
+    their full table with run-sliced indices — same index count, same
     rate, so only the chunked levels' gathers get faster and no glue term
     scales with the level count.
 
     Inputs are the flat-[K] barriered geometry of :func:`_yfold_forward`;
-    ``idx_of[gi]`` is the (contiguous, in-order) slice range of group gi.
-    Streaming-inference only (no VJP path; rings exist only in streaming).
+    ``runs`` is the static segmentation of the slice axis into maximal
+    same-group runs: ``(group, lo, hi)`` triples covering [0, b) in order.
+    The decoder's (b, g, t) slice order yields B*G runs of length T (one
+    per group when B = 1 — the streaming case); any other static order
+    still partitions correctly, just into more/smaller gathers.
     """
     n = packed.num_views
     c = packed.channels
@@ -779,8 +916,7 @@ def _gmajor_forward(packed: PackedFeatures, x, y, view, batch_row,
                                     axis=1).reshape(-1)
 
     pieces = []
-    for gi in range(gg):
-        lo, hi = idx_of[gi][0], idx_of[gi][-1] + 1
+    for gi, lo, hi in runs:
         xg = gsl(x, lo, hi)
         yg = gsl(y, lo, hi)
         vg = gsl(view, lo, hi)
@@ -902,28 +1038,20 @@ def _yfold_forward(qmajor: bool,
         (x, y, view, batch_row, lw_levels))
 
     if any(packed.gsplit):
-        # GROUP-MAJOR fast path: when every group's slices form a
-        # contiguous in-order run (the decoder's (b, g, t) slice order with
-        # b=1 — the streaming case) the whole level loop restructures
-        # group-major, which is where the chunk gathers' MSA-prefetch win
-        # survives composition (see _gmajor_forward). Other slice layouts
-        # (e.g. ring_packed's native (t, g) order) fall through to the
-        # per-level gsplit branch below.
-        assert qmajor, "table_gsplit requires the streaming query-major layout"
+        # GROUP-MAJOR path: the whole level walk restructures group-major
+        # over the static segmentation of the slice axis into same-group
+        # runs — where the chunk gathers' MSA-prefetch win survives
+        # composition (see _gmajor_forward). The decoder's (b, g, t) slice
+        # order gives B*G runs of length T; ring_packed's native (t, g)
+        # order degenerates to length-1 runs (correct, more gather calls).
+        assert qmajor, "table_gsplit requires the query-major layout"
         assert packed.slice_groups is not None, \
             "group-split tables need PackedFeatures.slice_groups"
         assert not any(t is not None for t in (packed.mxu_tables or ())), \
             "table_gsplit cannot mix with the hybrid MXU path"
-        sgp = packed.slice_groups
-        gg = packed.num_groups
-        idx_of = [tuple(s for s in range(b) if sgp[s] == gi)
-                  for gi in range(gg)]
-        gfast = (all(ix and ix == tuple(range(ix[0], ix[-1] + 1))
-                     for ix in idx_of)
-                 and sum((list(ix) for ix in idx_of), []) == list(range(b)))
-        if gfast:
-            return _gmajor_forward(packed, x, y, view, batch_row, lw_levels,
-                                   q, b, p, idx_of, window_dnums, acc_dtype)
+        return _gmajor_forward(packed, x, y, view, batch_row, lw_levels,
+                               q, b, p, _group_runs(packed.slice_groups),
+                               window_dnums, acc_dtype)
 
     out = jnp.zeros((k, c), acc_dtype)
     for lvl in range(num_levels):
@@ -974,75 +1102,6 @@ def _yfold_forward(qmajor: bool,
 
         def _fold_window(g2, fxa, fxb, fya, fyb):
             return _fold_window_taps(g2, fxa, fxb, fya, fyb, c)
-
-        if packed.gsplit[lvl]:
-            # GROUP-split ring level: one gather per per-group chunk buffer.
-            # The chunk a point reads is its (STATIC) group index — slicing
-            # group gi out of the [Q, TB, G, P] point layout is a
-            # compile-time strided slice that fuses into the gather's index
-            # computation, and the slot indirection stays inside the index
-            # math (batch_row already carries physical slot*G+g). Same index
-            # count as unsplit; each chunk (L1 at r50: 139/4 = 35 MB) is
-            # under XLA MSA's VMEM prefetch threshold (~11.5 -> ~6.8 ns/idx
-            # measured v5e). Unlike the slot chunk-split below, this needs
-            # NO runtime permute and NO slot-bijection fixup.
-            assert qmajor, "table_gsplit requires the streaming query-major layout"
-            assert packed.yfold[lvl], "table_gsplit requires yfold tables"
-            assert packed.slice_groups is not None, \
-                "group-split tables need PackedFeatures.slice_groups (the " \
-                "static group of each slice position; the slice-axis order " \
-                "is caller-defined)"
-            gg = packed.num_groups
-            sgp = packed.slice_groups
-            idx_of = [tuple(s for s in range(b) if sgp[s] == gi)
-                      for gi in range(gg)]
-            # fast layout path: every chunk's slices form a contiguous run
-            # AND the runs appear in order (the decoder's (b, g, t) slice
-            # order with b=1 — the streaming case). Then chunk extraction
-            # is a LANE-dim slice of the [Q, S*P] bitcast view of the flat
-            # [K] geometry (a [Q, S, P] reshape instead tiles P=4 into
-            # lanes and relayout-copies every operand: +2 ms/sample,
-            # profiled 2026-08-19), and reassembly is a lane-dim concat of
-            # [Q, run*P*C] bitcast views — no transpose, and the level
-            # accumulation keeps fusing like the unsplit branch.
-            fast = (all(ix == tuple(range(ix[0], ix[-1] + 1))
-                        for ix in idx_of if ix)
-                    and sum((list(ix) for ix in idx_of), []) == list(range(b)))
-
-            def chg(a, ix):
-                if fast:
-                    return jax.lax.slice_in_dim(
-                        a.reshape(q, b * p), ix[0] * p, (ix[-1] + 1) * p,
-                        axis=1).reshape(-1)
-                return jnp.take(a.reshape(q, b, p),
-                                np.asarray(ix, np.int32), axis=1).reshape(-1)
-
-            pieces = []
-            for gi in range(gg):
-                idxs = idx_of[gi]
-                slot = chg(batch_row, idxs) // gg
-                row = (slot * n + chg(view, idxs)) * h + chg(ry, idxs)
-                starts = jnp.stack([row, chg(sx, idxs)], axis=-1)
-                gch = jax.lax.gather(packed.tables[lvl][gi], starts,
-                                     window_dnums, slice_sizes=(1, 2, 2 * c),
-                                     mode="promise_in_bounds")
-                lwc = chg(lw, idxs)
-                piece = _fold_window(gch[:, 0], chg(wxa, idxs),
-                                     chg(wxb, idxs),
-                                     (chg(wya, idxs) * lwc)[:, None],
-                                     (chg(wyb, idxs) * lwc)[:, None])
-                pieces.append(piece.reshape(q, len(idxs) * p * c) if fast
-                              else piece.reshape(q, len(idxs), p, c))
-            if fast:
-                lvl_out = jnp.concatenate(pieces, axis=1).reshape(k, c)
-            else:
-                lvl_out = jnp.concatenate(pieces, axis=1)  # chunk order
-                order = sum(idx_of, ())
-                inv = np.argsort(np.asarray(order)).astype(np.int32)
-                lvl_out = jnp.take(lvl_out, inv, axis=1).reshape(k, c)
-            out = out + lvl_out.astype(acc_dtype)
-            out = jax.lax.optimization_barrier(out)
-            continue
 
         if split[lvl] > 1:
             # chunk-split ring level: one gather per chunk buffer over the

@@ -567,3 +567,61 @@ def test_ring_copy_slot_matches_update(rng):
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b),
                     err_msg=f"split={split} {src}->{dst}")
+
+
+def test_grouped_pack_gsplit_train_forward_and_grads(rng):
+    """TRAIN/OFFLINE group-split (table_gsplit_pack): packing a level as
+    per-group chunk buffers must leave the sampled output AND the gradients
+    w.r.t. the raw pyramids / locations / weights equal to the unsplit pack.
+    Exercises the full differentiable chain the training decoder runs:
+    pack_mlvl_feats_grouped(gsplit) -> sampling_4d's (b, g, t) logical
+    repack -> _gmajor_forward primal -> _halfrow_runmajor VJP ->
+    pack_level's custom VJP — with B > 1 (multiple same-group runs)."""
+    from sparsebev_tpu.ops.msmv_sampling import (
+        PackedFeatures, msmv_sampling, pack_mlvl_feats_grouped)
+    b, t, n, g, cg = 2, 3, 2, 2, 8
+    c = g * cg
+    q, p = 4, 3
+    shapes = [(6, 9), (3, 5)]
+    feats = [jnp.asarray(rng.randn(b, t * n, h, w, c).astype(np.float32))
+             for h, w in shapes]
+    loc = rng.rand(q, b * g * t, p, 3).astype(np.float32)
+    loc[..., 2] = rng.randint(0, n, loc.shape[:-1]) / (n - 1)
+    sw = rng.rand(q, b * g * t, p, len(shapes)).astype(np.float32)
+    jl, jw = jnp.asarray(loc), jnp.asarray(sw)
+    # non-uniform cotangent so grad errors can't cancel
+    cot = jnp.asarray(rng.randn(q, b * g * t, p, cg).astype(np.float32))
+
+    # sampling_4d's logical slice order (b, g, t) over the packed (b, t, g)
+    # space (projection.py:247-264)
+    logical = ((jnp.arange(b, dtype=jnp.int32)[:, None, None] * t
+                + jnp.arange(t, dtype=jnp.int32)[None, None, :]) * g
+               + jnp.arange(g, dtype=jnp.int32)[None, :, None]).reshape(-1)
+    slice_groups = tuple((s // t) % g for s in range(b * g * t))
+
+    def make_fn(gsplit):
+        def fn(fs, lo, wts):
+            pk = pack_mlvl_feats_grouped(fs, n, g, gsplit=gsplit)
+            packed = PackedFeatures(
+                pk.tables, b * g * t, n, pk.level_shapes, pk.channels,
+                num_groups=g, slice_map=logical, yfold=pk.yfold,
+                slice_groups=slice_groups)
+            out = msmv_sampling(packed, lo, wts, qmajor=True)
+            return (out * cot).sum(), out
+        return fn
+
+    (v0, out0), g0 = jax.jit(jax.value_and_grad(
+        make_fn(False), argnums=(0, 1, 2), has_aux=True))(feats, jl, jw)
+    for gsplit in (True, (True, False)):
+        (v1, out1), g1 = jax.jit(jax.value_and_grad(
+            make_fn(gsplit), argnums=(0, 1, 2), has_aux=True))(feats, jl, jw)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out0),
+                                      err_msg=f"forward gsplit={gsplit}")
+        for a, want in zip(jax.tree_util.tree_leaves(g1),
+                           jax.tree_util.tree_leaves(g0)):
+            # scatter-add order differs between the flat and per-chunk
+            # backward walks; values agree to fp32 roundoff
+            np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                       rtol=2e-6, atol=2e-6,
+                                       err_msg=f"grad gsplit={gsplit}")
+        assert np.isfinite(np.asarray(v1)).all()

@@ -18,7 +18,7 @@ B, T, N, H, W = 8, 2, 6, 32, 64
 NUM_QUERY, EMBED, MAX_GT = 16, 64, 4
 
 
-def _model():
+def _model(**head_overrides):
     return SparseBEV(
         img_backbone=dict(type="ResNet", depth=50, out_indices=(0, 1, 2, 3)),
         img_neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
@@ -26,7 +26,7 @@ def _model():
         pts_bbox_head=dict(
             type="SparseBEVHead", num_classes=10, in_channels=EMBED,
             num_query=NUM_QUERY, num_frames=T, num_points=2, num_layers=2,
-            num_levels=4, code_size=10, pc_range=PC_RANGE),
+            num_levels=4, code_size=10, pc_range=PC_RANGE, **head_overrides),
         data_aug=dict(img_norm_cfg=dict(mean=[123.675, 116.28, 103.53],
                                         std=[58.395, 57.12, 57.375], to_rgb=True)),
     )
@@ -214,3 +214,32 @@ def test_multi_step(model_and_state):
         np.asarray(st_multi.params["head"]["init_query_bbox"]),
         np.asarray(st_seq.params["head"]["init_query_bbox"]),
         rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_gsplit_pack_matches_baseline(model_and_state):
+    """table_gsplit_pack (training group-split tables): one full train step —
+    losses AND updated params — must match the unsplit pack. The knob only
+    changes HOW the sampled tables are laid out (per-group chunk buffers +
+    the run-major halfrow VJP), never the math: forward is bitwise-equal,
+    the backward's scatter-add order differs (fp32 roundoff on grads)."""
+    model, state = model_and_state
+    rng = np.random.RandomState(7)
+    batch = _batch(rng, b=2)
+
+    def one_step(m):
+        step_fn = jax.jit(make_train_step(
+            m, num_classes=10, code_weights=CODE_WEIGHTS, pc_range=PC_RANGE,
+            num_query=NUM_QUERY, query_denoising=True, dn_groups=2))
+        st, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+        return st, {k: float(v) for k, v in metrics.items()}
+
+    st0, m0 = one_step(_model())
+    st1, m1 = one_step(_model(table_gsplit_pack=True))
+    assert m1["loss"] == pytest.approx(m0["loss"], rel=1e-6, abs=1e-6)
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_flatten_with_path(st0.params)[0],
+            jax.tree_util.tree_flatten_with_path(st1.params)[0]):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(p0))

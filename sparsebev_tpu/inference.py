@@ -262,6 +262,10 @@ class StreamingDetector:
         # filename -> ring slot, insertion-ordered (FIFO evict, reference
         # sparsebev.py:290-292)
         self.slot_of_key: "OrderedDict[str, int]" = OrderedDict()
+        # key -> in-flight device array from prefetch_upload (H2D
+        # double-buffering: sample i+1's frame pixels transfer while sample
+        # i's forward runs; infer() consumes entries instead of re-uploading)
+        self._pending: dict = {}
         self.ring = None    # per-level table ring (device buffers)
         self._meta = None   # single-frame PackedFeatures geometry (static)
         self._head = None   # built lazily once _meta is known
@@ -389,6 +393,9 @@ class StreamingDetector:
 
         def upload(i):
             def fn():
+                pend = self._pending.pop(keys[i], None)
+                if pend is not None:
+                    return pend       # H2D already in flight (prefetch_upload)
                 if i >= frames_with_pixels:
                     raise RuntimeError(
                         f"history frame {i} ({keys[i]}) is not cached and "
@@ -406,3 +413,25 @@ class StreamingDetector:
                           jnp.asarray(slots, jnp.int32),
                           jnp.asarray(lidar2img), jnp.asarray(time_diff),
                           h, w)
+
+    def prefetch_upload(self, img: np.ndarray, filenames: List[str]):
+        """Start the H2D transfer of a sample's uncached frame pixels NOW.
+
+        Call with sample i+1's pixels before dispatching sample i's forward
+        (H2D double-buffering): ``jax.device_put`` returns immediately with
+        the copy in flight, and the later ``infer`` on the same sample
+        consumes the in-flight array instead of a fresh synchronous upload.
+        Steady-state streaming uploads exactly one frame per sample, so this
+        hides the per-sample transfer behind the previous forward. Safe to
+        skip entirely — ``infer`` is unchanged without it."""
+        import os
+        n = self.num_views
+        frames_with_pixels = img.shape[1] // n
+        img = np.asarray(img)
+        for i in range(frames_with_pixels):
+            key = (os.path.abspath(filenames[i * n]) if filenames
+                   else f"frame_{i}")
+            if key in self.slot_of_key or key in self._pending:
+                continue
+            self._pending[key] = jax.device_put(
+                np.ascontiguousarray(img[:, i * n:(i + 1) * n]))

@@ -283,6 +283,15 @@ def test_timing_cli(synth_ann):
     names = {m["metric"] for m in metrics}
     assert {"streaming_fps", "streaming_fps_e2e",
             "streaming_fps_e2e_overlapped"} <= names, names
+    # both e2e lines must carry the host/device split (self-explaining
+    # artifact): serial reports host_pipeline_ms, overlapped reports the
+    # residual host_wait_ms after loader+H2D double-buffer overlap
+    by_name = {m["metric"]: m for m in metrics}
+    assert "host_pipeline_ms" in by_name["streaming_fps_e2e"]
+    assert "dispatch_upload_forward_ms" in by_name["streaming_fps_e2e"]
+    assert "host_wait_ms" in by_name["streaming_fps_e2e_overlapped"]
+    assert "dispatch_upload_forward_ms" in by_name[
+        "streaming_fps_e2e_overlapped"]
 
 
 @pytest.mark.slow
@@ -540,3 +549,47 @@ def test_trace_ops_cli(xplane_dir):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "device total: 0.000 ms" in out.stdout  # 7750 ps rounds to 0.000
     assert "gather" in out.stdout
+
+
+@pytest.mark.slow
+def test_streaming_prefetch_upload_matches_plain(synth_ann):
+    """H2D double-buffering (StreamingDetector.prefetch_upload): starting a
+    sample's frame transfers early must not change predictions — infer
+    consumes the in-flight arrays instead of re-uploading — and the pending
+    map must drain (no leaked device buffers in steady state)."""
+    import jax
+    import jax.numpy as jnp
+    from sparsebev_tpu.config import Config
+    from sparsebev_tpu.builder import build_model, build_dataset
+    from sparsebev_tpu.data.loader import collate_batch
+    from sparsebev_tpu.inference import StreamingDetector
+
+    cfg = Config.fromfile(os.path.join(REPO, "configs/smoke_synthetic.py"))
+    cfg.merge_from_dict({"data.val.ann_file": synth_ann})
+    dataset = build_dataset(cfg.data["val"])
+    model, aux = build_model(cfg)
+    coder = aux.build_coder()
+    nf = cfg.model["pts_bbox_head"]["num_frames"]
+
+    b0 = collate_batch([dataset[0]], max_gt=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        jnp.asarray(b0["img"]), jnp.asarray(b0["lidar2img"]),
+        jnp.asarray(b0["time_diff"]), train=False)
+
+    plain = StreamingDetector(model, variables, num_frames=nf, coder=coder)
+    pre = StreamingDetector(model, variables, num_frames=nf, coder=coder)
+
+    for i in range(min(3, len(dataset))):
+        batch = collate_batch([dataset[i]], max_gt=8)
+        fnames = batch["img_metas"][0].get("filename", [])
+        args = (np.asarray(batch["img"]), np.asarray(batch["lidar2img"]),
+                np.asarray(batch["time_diff"]), fnames)
+        want = jax.device_get(plain.infer(*args))
+        pre.prefetch_upload(args[0], fnames)
+        assert pre._pending  # transfers actually staged
+        got = jax.device_get(pre.infer(*args))
+        assert not pre._pending  # ...and consumed by infer
+        np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-6)
+        np.testing.assert_allclose(got["bboxes"], want["bboxes"], atol=1e-5)
+    assert plain.slot_of_key == pre.slot_of_key

@@ -21,6 +21,9 @@ model = dict(
     pts_bbox_head=dict(
         num_levels=5,
         table_gsplit=(False, False, True, False, False),
+        # train/offline pack twin (same level: 4x35 MB chunks); the r50
+        # train-step A/B measured -6.7% (2026-08-20), mechanism identical
+        table_gsplit_pack=(False, False, True, False, False),
     ),
 )
 

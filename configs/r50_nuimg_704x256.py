@@ -71,6 +71,13 @@ model = dict(
         # v5e 2026-08-19: 48.34 -> 43.19 ms/sample streaming (+11.9% FPS).
         # L0 (557 MB -> 139 MB chunks) measured a wash and stays unsplit.
         table_gsplit=(False, True, False, False),
+        # TRAIN/OFFLINE pack twin of the streaming knob above: the packed
+        # T=8 L1 table builds as 4 per-group chunk buffers, so the training
+        # forward's gathers AND the custom VJP's scatter-adds run against
+        # MSA-prefetchable chunks. Differentiable; forward bitwise-equal.
+        # Measured on v5e 2026-08-20: full train step (B=1, DN on)
+        # 604.8 -> 564.6 ms/step (-6.7%).
+        table_gsplit_pack=(False, True, False, False),
         query_denoising=True,
         query_denoising_groups=10,
         code_weights=[2.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],

@@ -52,6 +52,9 @@ model = dict(
         # streaming (+11% FPS); adding L2 (371 -> 93 MB chunks) changed
         # nothing. 5 entries — overrides the r50 base's 4-entry spec.
         table_gsplit=(False, False, False, True, False),
+        # train/offline pack twin (same level; eva02 inherits). The r50
+        # train-step A/B measured -6.7% (2026-08-20), mechanism identical
+        table_gsplit_pack=(False, False, False, True, False),
     ),
 )
 

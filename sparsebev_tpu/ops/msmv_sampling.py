@@ -220,7 +220,12 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
     if isinstance(gsplit, bool):
         gsplit = (gsplit,) * len(mlvl_feats)
     gsplit = tuple(bool(s) for s in gsplit)
-    assert len(gsplit) == len(mlvl_feats)
+    if len(gsplit) != len(mlvl_feats):
+        raise ValueError(
+            f"per-level gsplit sequence has {len(gsplit)} entries for "
+            f"{len(mlvl_feats)} feature levels (check table_gsplit_pack in "
+            "the config — inheriting configs that change num_levels must "
+            "override the base's tuple)")
     from .msmv_pack_pallas import pack_level
     tables, shapes = [], []
     for feat, yf, gs in zip(mlvl_feats, yfold, gsplit):

@@ -455,16 +455,28 @@ def _pb_xspace(planes):
 
 
 def _tpu_plane():
-    meta = {1: "fusion.1", 2: "gather.7", 3: "convolution.2", 4: "copy.3"}
+    meta = {1: "fusion.1", 2: "gather.7", 3: "convolution.2", 4: "copy.3",
+            5: "while.9", 6: "copy-start.4"}
+    # a real device's XLA Ops line NESTS events: while.9 (0..7750) contains
+    # everything; convolution.2's span contains copy.3. Self-time
+    # accounting must charge each child's span to its immediate parent:
+    #   while.9: 7750 - (1000+2500+4000) = 250
+    #   convolution.2: 4000 - 250 = 3750; copy.3: 250
     ops = _pb_line("XLA Ops", [
-        _pb_event(1, 1000), _pb_event(2, 2000), _pb_event(2, 500),
-        _pb_event(3, 4000), _pb_event(4, 250)])
-    # step/module/derived lines re-aggregate the same picoseconds and must
-    # be excluded from the rollup
+        _pb_event(5, 7750, offset_ps=0),
+        _pb_event(1, 1000, offset_ps=0),
+        _pb_event(2, 2000, offset_ps=1000), _pb_event(2, 500, offset_ps=3000),
+        _pb_event(3, 4000, offset_ps=3500),
+        _pb_event(4, 250, offset_ps=4000)])
+    # step/module/derived/async lines re-aggregate or overlap the same
+    # picoseconds and must be excluded from the default rollup
     steps = _pb_line("Steps", [_pb_event(1, 7750)])
     modules = _pb_line("XLA Modules", [_pb_event(1, 7750)])
     source = _pb_line("Source", [_pb_event(2, 2500)], via_display_name=True)
-    return _pb_plane("/device:TPU:0", [ops, steps, modules, source], meta)
+    dma = _pb_line("Async XLA Ops", [_pb_event(6, 6000, offset_ps=500),
+                                     _pb_event(6, 6000, offset_ps=1000)])
+    return _pb_plane("/device:TPU:0", [ops, steps, modules, source, dma],
+                     meta)
 
 
 def _host_plane():
@@ -492,12 +504,24 @@ def test_trace_ops_rollup_totals(xplane_dir):
     paths = to.find_xplanes(str(xplane_dir))
     assert len(paths) == 1
     tot, cnt, planes = to.rollup(paths)
-    # only the XLA Ops line counts: step/module/derived lines are skipped
+    # only the XLA Ops line counts (step/module/derived/async skipped), and
+    # nested events roll up as SELF time: the total equals the module wall
     assert sum(tot.values()) == 7750
     assert tot["gather.7"] == 2500 and cnt["gather.7"] == 2
     assert tot["fusion.1"] == 1000
-    assert tot["convolution.2"] == 4000
+    # convolution.2's raw 4000 ps minus the contained copy.3 (250)
+    assert tot["convolution.2"] == 3750
+    assert tot["copy.3"] == 250
+    # the while op keeps only the time not covered by its children
+    assert tot["while.9"] == 250
     assert "/device:TPU:0" in planes and "/host:CPU" in planes
+
+
+def test_trace_ops_dma_view(xplane_dir):
+    to = _trace_ops()
+    tot, cnt, _ = to.rollup(to.find_xplanes(str(xplane_dir)), dma=True)
+    # raw overlapping span durations, async line only
+    assert dict(tot) == {"copy-start.4": 12000} and cnt["copy-start.4"] == 2
 
 
 def test_trace_ops_plane_filter(xplane_dir):
@@ -511,7 +535,7 @@ def test_trace_ops_group_families(xplane_dir):
     tot, _, _ = to.rollup(to.find_xplanes(str(xplane_dir)), group=True)
     assert tot["gather"] == 2500
     assert tot["fusion"] == 1000
-    assert tot["conv"] == 4000
+    assert tot["conv"] == 3750
     assert tot["copy/transpose"] == 250
 
 

@@ -64,13 +64,15 @@ def _fields(buf, start=0, end=None):
 
 
 def _parse_event(buf):
-    meta_id = dur_ps = 0
+    meta_id = off_ps = dur_ps = 0
     for fn, _, v in _fields(buf):
         if fn == 1:
             meta_id = v
+        elif fn == 2:
+            off_ps = v
         elif fn == 3:
             dur_ps = v
-    return meta_id, dur_ps
+    return meta_id, off_ps, dur_ps
 
 
 def _parse_line(buf):
@@ -167,16 +169,60 @@ def group_of(name):
 
 
 # Lines whose events re-aggregate the same picoseconds the per-op lines
-# already carry: raw-trace step/module rollups plus TensorBoard-derived
-# lines ("Source", "TensorFlow Name Scope") that post-processed traces add.
+# already carry: raw-trace step/module rollups, the async-DMA span line
+# (overlapping in-flight transfer windows, NOT engine-busy time — summing
+# it inflated a 20-iter r50 rollup 830 -> 5894 ms before this exclusion),
+# plus TensorBoard-derived lines ("Source", "TensorFlow Name Scope").
 _SKIP_LINES = frozenset((
     "steps", "step", "xla modules", "module", "framework name scope",
-    "source", "tensorflow name scope", "tensorflow ops",
+    "source", "tensorflow name scope", "tensorflow ops", "async xla ops",
 ))
 
 
-def rollup(paths, plane="TPU", group=False, merge_dots=False):
-    """Aggregate per-op durations over xplane files.
+def self_times(events):
+    """Per-event SELF time: duration minus the spans of immediate children.
+
+    The device "XLA Ops" line NESTS events — a while/call op's span contains
+    every op of its body (measured on a 20-iter r50 streaming trace: raw
+    durations sum to 2.7x the line's wall span; the interval union equals
+    the span exactly). Summing raw durations therefore double-counts every
+    loop body once per ancestor. A containment stack over the offset-sorted
+    events charges each event's span to its immediate parent, so
+    sum(self) == interval union == honest device-busy time.
+
+    ``events``: iterable of (metadata_id, offset_ps, duration_ps) from ONE
+    line. Returns a list of (metadata_id, self_ps).
+    """
+    evs = sorted(events, key=lambda e: (e[1], -e[2]))
+    out = []
+    stack = []  # [mid, end_ps, dur_ps, child_cover_ps]
+    for mid, off, dur in evs:
+        end = off + dur
+        while stack and off >= stack[-1][1]:
+            m, _, d, cc = stack.pop()
+            out.append((m, d - cc))
+        if stack:
+            # starts inside the stack top -> immediate child; charge its
+            # span (clipped to the parent) to the parent's covered time
+            stack[-1][3] += min(end, stack[-1][1]) - off
+        stack.append([mid, end, dur, 0])
+    while stack:
+        m, _, d, cc = stack.pop()
+        out.append((m, d - cc))
+    return out
+
+
+def rollup(paths, plane="TPU", group=False, merge_dots=False, dma=False):
+    """Aggregate per-op SELF durations over xplane files.
+
+    Device planes with an "XLA Ops" line use ONLY that line (whitelist —
+    ADVICE r4 #3), with nested-event self-time accounting (see
+    :func:`self_times`) so the total matches the module wall time. Planes
+    without one (host threads) fall back to skipping the known
+    double-counting lines. ``dma=True`` instead rolls up the "Async XLA
+    Ops" line — in-flight DMA spans, which OVERLAP each other and the
+    compute ops; useful as a bandwidth/latency view, meaningless to add to
+    compute time.
 
     Returns ``(tot, cnt, plane_names)``: Counters of picoseconds and event
     counts keyed by op name (or family with ``group``), and every plane
@@ -192,17 +238,27 @@ def rollup(paths, plane="TPU", group=False, merge_dots=False):
             plane_names.append(name)
             if plane.lower() not in name.lower():
                 continue
+            lnames = [ln.lower() for ln, _ in lines]
+            if dma:
+                use = lambda ln: ln == "async xla ops"
+            elif "xla ops" in lnames:
+                use = lambda ln: ln == "xla ops"
+            else:
+                use = lambda ln: ln not in _SKIP_LINES
             for lname, events in lines:
-                # XLA op lines carry per-op events; step/module/derived
-                # lines would double-count the same picoseconds
-                if lname.lower() in _SKIP_LINES:
+                if not use(lname.lower()):
                     continue
-                for mid, dur in events:
+                # dma view: RAW span durations (per-transfer latency — the
+                # spans run on parallel queues, so self-time nesting logic
+                # does not apply and the totals intentionally overlap)
+                pairs = ([(m, d) for m, _, d in events] if dma
+                         else self_times(events))
+                for mid, sdur in pairs:
                     op = meta.get(mid, f"#{mid}")
                     if merge_dots:
                         op = re.sub(r"\.\d+$", "", op)
                     key = group_of(op) if group else op
-                    tot[key] += dur
+                    tot[key] += sdur
                     cnt[key] += 1
     return tot, cnt, plane_names
 
@@ -218,11 +274,15 @@ def main():
                          "use Host for host threads)")
     ap.add_argument("--merge-dots", action="store_true",
                     help="strip trailing .N dedup suffixes before rollup")
+    ap.add_argument("--dma", action="store_true",
+                    help="roll up the Async XLA Ops line instead: raw "
+                         "in-flight DMA span durations (overlapping; a "
+                         "latency/bandwidth view, not additive busy time)")
     args = ap.parse_args()
 
     paths = find_xplanes(args.trace_dir)
     tot, cnt, plane_names = rollup(paths, args.plane, args.group,
-                                   args.merge_dots)
+                                   args.merge_dots, dma=args.dma)
     if not tot:
         print(f"no events on a plane matching {args.plane!r}; planes seen:")
         for p in plane_names:

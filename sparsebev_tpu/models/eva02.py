@@ -156,14 +156,26 @@ def _chunked_attention(q, k, v, chunk: int = 512):
     chunk. The global blocks of the 1600x640 EVA02 config attend over
     N=4000 tokens x 6 views: unchunked that is a 3.1 GB bf16 score tensor
     per block (the final 3.4 GB of a 19 GB HBM OOM); chunked it is ~0.4 GB.
-    """
+
+    UNROLLED, not ``lax.map``: the scan form stacked each chunk's output
+    with a per-step dynamic-update-slice that XLA turned into a relayouting
+    copy of the [NC, B, chunk, H, hd] carry — measured 8 x 8.41 ms/sample
+    on the eva02 1600x640 trace (2026-08-20), i.e. ~67 ms of the 1011 ms
+    forward spent restacking 6 MB attention outputs. The static Python loop
+    emits one concatenate instead; the optimization barrier chains chunk
+    i+1's k/v on chunk i's output so only one score buffer is ever live
+    (the memory bound the chunking exists for)."""
     b, n, h, hd = q.shape
     pad = (-n) % chunk
     qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    qc = jnp.moveaxis(
-        qp.reshape(b, (n + pad) // chunk, chunk, h, hd), 1, 0)
-    out = jax.lax.map(lambda qb: jax.nn.dot_product_attention(qb, k, v), qc)
-    out = jnp.moveaxis(out, 0, 1).reshape(b, n + pad, h, hd)
+    nc = (n + pad) // chunk
+    outs = []
+    for i in range(nc):
+        qb = jax.lax.slice_in_dim(qp, i * chunk, (i + 1) * chunk, axis=1)
+        o = jax.nn.dot_product_attention(qb, k, v)
+        k, v, o = jax.lax.optimization_barrier((k, v, o))
+        outs.append(o)
+    out = jnp.concatenate(outs, axis=1) if nc > 1 else outs[0]
     return out[:, :n]
 
 

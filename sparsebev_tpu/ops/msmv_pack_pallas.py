@@ -137,3 +137,86 @@ def _pack_level_bwd(num_groups, feat_shape, dt):
 
 
 pack_level.defvjp(_pack_level_fwd, _pack_level_bwd)
+
+
+def _pack_pair_kernel(a_ref, o_ref, *, bh, w, cg, groups):
+    """Pair (memory) mode: a: (1, BH, W, C) -> o: (1, BH, G, W+1, Cg).
+
+    No y-interleave (pair levels take two y-row gathers per point instead),
+    so there is no next-block operand and no channel doubling — just the
+    (W <-> G) local permute plus the zero guard column."""
+    for g in range(groups):
+        lo = g * cg
+        o_ref[0, :, g, 0:w, :] = a_ref[0, :, :, lo:lo + cg]
+        o_ref[0, :, g, w, :] = jnp.zeros((bh, cg), a_ref.dtype)
+
+
+def pack_level_pair_tpu(feat: jnp.ndarray, num_groups: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """feat: [M, H, W, C] -> [M, H, G, W+1, Cg] (pair-mode rows).
+
+    The XLA reshape/transpose/pad chain for the 1600x640 pair-mode L0
+    (the only level big configs keep at 1x feature memory) materializes
+    the ~200 MB pyramid several times — measured ~7.4 ms/sample of
+    pad/copy/slice glue on the vov99 trace (2026-08-20); one read + one
+    write is ~0.5 ms. Same kernel structure as the y-fold pack, minus the
+    next-block operand."""
+    m, h, w, c = feat.shape
+    g = num_groups
+    cg = c // g
+    assert c % g == 0
+    itemsize = jnp.dtype(feat.dtype).itemsize
+    per_row = (w * c + g * (w + 1) * cg) * itemsize
+    bh = min(h, 16)
+    while bh > 1 and (per_row * bh * 2 > 12 * 1024 * 1024 or h % bh):
+        bh //= 2
+    assert h % bh == 0, (h, bh)
+    nhb = h // bh
+
+    kernel = functools.partial(_pack_pair_kernel, bh=bh, w=w, cg=cg, groups=g)
+    return pl.pallas_call(
+        kernel,
+        grid=(m, nhb),
+        in_specs=[
+            pl.BlockSpec((1, bh, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, g, w + 1, cg),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, h, g, w + 1, cg), feat.dtype),
+        interpret=interpret,
+    )(feat)
+
+
+def _pack_pair_xla(feat: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    """Reference XLA formulation (fallback + VJP primal definition)."""
+    m, h, w, c = feat.shape
+    g = num_groups
+    cg = c // g
+    f = feat.reshape(m, h, w, g, cg)
+    f = jnp.transpose(f, (0, 1, 3, 2, 4))              # [M,H,G,W,Cg]
+    f = jnp.pad(f, ((0, 0),) * 3 + ((0, 1), (0, 0)))   # guard column
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pack_level_pair(feat: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    if jax.default_backend() == "tpu":
+        return pack_level_pair_tpu(feat, num_groups)
+    return _pack_pair_xla(feat, num_groups)
+
+
+def _pack_pair_fwd(feat, num_groups):
+    return pack_level_pair(feat, num_groups), feat.shape
+
+
+def _pack_pair_bwd(num_groups, feat_shape, dt):
+    """Adjoint: each feature element has exactly ONE table copy."""
+    m, h, w, c = feat_shape
+    dfeat = jnp.transpose(dt[:, :, :, :w], (0, 1, 3, 2, 4)).reshape(
+        m, h, w, c)
+    return (dfeat,)
+
+
+pack_level_pair.defvjp(_pack_pair_fwd, _pack_pair_bwd)

@@ -246,9 +246,11 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
             t2 = pack_level(feat.reshape(b * t * n, h, w, c), g)
             tables.append(t2.reshape(b * t * n * h * g, w + 1, 2 * cg))
         else:
-            f = feat.reshape(b * t * n, h, w, g, cg)
-            f = jnp.transpose(f, (0, 1, 3, 2, 4))        # [.., g, w, cg]
-            f = jnp.pad(f, ((0, 0),) * 3 + ((0, 1), (0, 0)))  # guard col
+            # pair (memory) mode rows via the Pallas pack kernel: the XLA
+            # transpose/pad chain re-materializes the big-config L0
+            # pyramid (~7.4 ms/sample of glue on the vov99 trace)
+            from .msmv_pack_pallas import pack_level_pair
+            f = pack_level_pair(feat.reshape(b * t * n, h, w, c), g)
             tables.append(f.reshape(b * t * n * h * g, w + 1, cg))
         shapes.append((h, w))
     return PackedFeatures(tuple(tables), b * t * g, n, tuple(shapes), cg,
@@ -259,6 +261,20 @@ def pack_mlvl_feats_grouped(mlvl_feats: Sequence[jnp.ndarray],
                           # with its (b, g, t) order and T-length runs.
                           slice_groups=(tuple(s % g for s in range(b * t * g))
                                         if any(gsplit) else None))
+
+
+def _lw_levels(scale_weights, k, num_levels):
+    """Level weights [d0, d1, P, L] -> fp32 [L, K], built as L lane-slices.
+
+    The obvious ``transpose(reshape(k, L))`` makes XLA materialize the
+    L-minor tensor through a (8,128)-tiled relayout copy where only L of
+    the 128 lanes carry data — measured 4.5 ms/sample at vov99 1600q/60s/L5
+    scale (trace ops copy.2325 + reshape.13503, 2026-08-20) and ~0.5 at
+    r50. Slicing each level out of the producer's own layout and stacking
+    reads the same bytes with no transposing relayout (the lane-slice trick
+    from :func:`_gmajor_forward`)."""
+    sw32 = scale_weights.astype(jnp.float32)
+    return jnp.stack([sw32[..., lvl].reshape(k) for lvl in range(num_levels)])
 
 
 def _group_runs(slice_groups):
@@ -770,8 +786,7 @@ def _msmv_halfrow(qmajor: bool,
         packed, sampling_locations, qmajor)
     # single materialization of the shared geometry (see _yfold_forward);
     # in the VJP this also keeps the transposed graph flat-[K]-shaped
-    lw_levels = jnp.transpose(
-        scale_weights.reshape(k, num_levels)).astype(jnp.float32)  # [L, K]
+    lw_levels = _lw_levels(scale_weights, k, num_levels)  # [L, K]
     x, y, view, batch_row, lw_levels = jax.lax.optimization_barrier(
         (x, y, view, batch_row, lw_levels))
 
@@ -1037,8 +1052,7 @@ def _yfold_forward(qmajor: bool,
     # lane->sublane relayout copy per level per layer (~3 ms/sample at
     # r50-900q, measured r3 profile: 0.6 ms x 5 copies of
     # f32[900,32,4,1]{0,1,3,2}->{2,1,0,3}).
-    lw_levels = jnp.transpose(
-        scale_weights.reshape(k, num_levels)).astype(jnp.float32)  # [L, K]
+    lw_levels = _lw_levels(scale_weights, k, num_levels)  # [L, K]
     x, y, view, batch_row, lw_levels = jax.lax.optimization_barrier(
         (x, y, view, batch_row, lw_levels))
 

@@ -66,3 +66,26 @@ def test_pack_level_tiny_and_odd_heights(rng):
         want = _pack_level_xla(feat, 4).reshape(out.shape)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=1e-6)
+
+
+def test_pack_pair_kernel_matches_xla(rng):
+    from sparsebev_tpu.ops.msmv_pack_pallas import (_pack_pair_xla,
+                                                    pack_level_pair_tpu)
+    for m, h, w, c, g in [(3, 16, 12, 8, 4), (2, 32, 7, 16, 4),
+                          (1, 1, 5, 6, 2), (2, 9, 5, 6, 2)]:
+        feat = jnp.asarray(rng.randn(m, h, w, c).astype(np.float32))
+        want = _pack_pair_xla(feat, g)
+        got = pack_level_pair_tpu(feat, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
+
+
+def test_pack_pair_vjp_matches_xla(rng):
+    from sparsebev_tpu.ops.msmv_pack_pallas import (_pack_pair_xla,
+                                                    pack_level_pair)
+    m, h, w, c, g = 2, 16, 6, 8, 4
+    feat = jnp.asarray(rng.randn(m, h, w, c).astype(np.float32))
+    ga = jax.grad(lambda f: jnp.sum(pack_level_pair(f, g) ** 3))(feat)
+    gb = jax.grad(lambda f: jnp.sum(_pack_pair_xla(f, g) ** 3))(feat)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-6, atol=1e-6)

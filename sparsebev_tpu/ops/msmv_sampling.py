@@ -272,7 +272,17 @@ def _lw_levels(scale_weights, k, num_levels):
     scale (trace ops copy.2325 + reshape.13503, 2026-08-20) and ~0.5 at
     r50. Slicing each level out of the producer's own layout and stacking
     reads the same bytes with no transposing relayout (the lane-slice trick
-    from :func:`_gmajor_forward`)."""
+    from :func:`_gmajor_forward`).
+
+    Gated to L >= 5: at r50's L = 4 the relayout is only ~0.5 ms/sample
+    and the slice-stack spelling measured a slight LOSS (43.33 vs 42.74
+    ms, clean same-day A/B 2026-08-20) — an even minor dim tiles
+    tolerably and four strided lane reads cost more than the one copy. At
+    L = 5 (the 1600x640 configs) the odd minor dim makes the relayout
+    pathological and the slices win."""
+    if num_levels < 5:
+        return jnp.transpose(
+            scale_weights.reshape(k, num_levels)).astype(jnp.float32)
     sw32 = scale_weights.astype(jnp.float32)
     return jnp.stack([sw32[..., lvl].reshape(k) for lvl in range(num_levels)])
 

@@ -115,6 +115,10 @@ def test_bench_machinery_cpu():
 
     fps = bench.bench_config("configs/smoke_synthetic.py", iters=2)
     assert fps > 0
-    serial_fps, overlapped_fps = bench.bench_e2e_flagship(
+    serial, overlapped = bench.bench_e2e_flagship(
         num_samples=2, cfg_path="configs/smoke_synthetic.py")
-    assert serial_fps > 0 and overlapped_fps > 0
+    # both stats dicts carry fps + the host/device split (the self-
+    # explaining artifact contract bench.py emits into BENCH_r*.json)
+    assert serial["e2e_fps"] > 0 and overlapped["e2e_fps"] > 0
+    assert {"host_pipeline_ms", "dispatch_upload_forward_ms"} <= set(serial)
+    assert {"host_wait_ms", "dispatch_upload_forward_ms"} <= set(overlapped)

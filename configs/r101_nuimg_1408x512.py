@@ -10,7 +10,16 @@ point_cloud_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
 num_frames = 8
 
 model = dict(
-    img_backbone=dict(depth=101),
+    # with_cp matches the reference r101 config (their configs set backbone
+    # checkpointing on r50 AND r101). At 1408x512 T=8 the 23 un-remat'd
+    # layer3 blocks alone hold ~6 GB of [48,32,88,1024] activations;
+    # measured 2026-08-20: the B=1 DN-on train step still wants 23.8 GB
+    # HBM even WITH backbone remat — r101 training does not fit one 16 GB
+    # v5e (the reference trains it with full 8-frame backward on larger
+    # GPUs); it needs a >=2-chip query-sharded/FSDP mesh or stop_prev_grad.
+    # Our r50 config leaves with_cp off: 704x256 fits to B=2 without
+    # recompute and steps faster.
+    img_backbone=dict(depth=101, with_cp=True),
     img_neck=dict(num_outs=5),
     # 5 feature levels: the base's 4-entry table_gsplit must be overridden.
     # Ring sizes here are L0 2.2 GB / L1 557 / L2 139 / L3 35 / L4 8.7 MB;
